@@ -1,0 +1,32 @@
+"""Test environment: force CPU with 8 virtual devices so data-parallel
+sharding is testable without a TPU (SPMD code is identical; only the
+platform differs)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+
+# Golden-parity tests compare f32 numerics against the torch reference;
+# XLA's default conv/matmul precision on CPU/TPU uses fast lower-precision
+# passes, so pin full f32 for the test session.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    return GOLDEN
+
+
+def load_golden(name):
+    return np.load(GOLDEN / name)

@@ -1,0 +1,77 @@
+"""Golden parity for post-processing ops: CIoU, NMS, TP matching, mAP."""
+import numpy as np
+
+from conftest import load_golden
+
+
+def test_ciou():
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.boxes import ciou
+
+    g = load_golden("ciou.npz")
+    mine = np.asarray(ciou(jnp.asarray(g["b1"]), jnp.asarray(g["b2"])))
+    assert np.abs(mine - g["ciou"]).max() < 1e-5
+
+
+def test_nms_synthetic_exact():
+    """Candidate budget covers every candidate -> selection must equal the
+    reference's torchvision-semantics NMS box for box."""
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.nms import batched_nms, nms_to_numpy
+
+    g = load_golden("nms.npz")
+    synth = g["synth"]                      # (1, 84, A) reference layout
+    preds = jnp.asarray(np.transpose(synth, (0, 2, 1)))  # (1, A, 84)
+    res = batched_nms(preds, max_nms=synth.shape[2] * 80)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    mine = nms_to_numpy(res, 0)
+    ref = g["synth_det"]
+
+    assert mine.shape == ref.shape, (mine.shape, ref.shape)
+    assert np.abs(mine[:, :4] - ref[:, :4]).max() < 1e-3   # boxes
+    assert np.abs(mine[:, 4] - ref[:, 4]).max() < 1e-6     # scores
+    assert (mine[:, 5] == ref[:, 5]).all()                  # classes
+
+
+def test_nms_model_outputs():
+    """NMS on real (random-weight) model outputs matches the reference
+    pipeline output."""
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.nms import batched_nms, nms_to_numpy
+
+    g = load_golden("nms.npz")
+    outputs = g["outputs"]                  # (2, 84, A)
+    preds = jnp.asarray(np.transpose(outputs, (0, 2, 1)))
+    res = batched_nms(preds, max_nms=outputs.shape[2] * 80)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    for i in range(outputs.shape[0]):
+        ref = g[f"det_{i}"]
+        mine = nms_to_numpy(res, i)
+        assert mine.shape == ref.shape, (i, mine.shape, ref.shape)
+        if len(ref):
+            assert np.abs(mine[:, :4] - ref[:, :4]).max() < 1e-2
+            assert np.abs(mine[:, 4] - ref[:, 4]).max() < 1e-5
+            assert (mine[:, 5] == ref[:, 5]).all()
+
+
+def test_match_predictions():
+    from tpu_yolo.eval.metrics import match_predictions
+
+    g = load_golden("metrics.npz")
+    mine = match_predictions(g["output"][:, :6], g["target"], g["iou_v"])
+    assert (mine == g["correct"]).all()
+
+
+def test_average_precision():
+    from tpu_yolo.eval.metrics import average_precision
+
+    g = load_golden("metrics.npz")
+    res = average_precision(g["correct"].copy(), g["conf"].copy(),
+                            g["pred_cls"].copy(), g["target_cls"].copy())
+    assert abs(res["precision"] - g["m_pre"]) < 1e-9
+    assert abs(res["recall"] - g["m_rec"]) < 1e-9
+    assert abs(res["map50"] - g["map50"]) < 1e-9
+    assert abs(res["map"] - g["mean_ap"]) < 1e-9

@@ -1,0 +1,258 @@
+"""Generate golden-parity fixtures from the reference implementation.
+
+Runs the PyTorch reference at /root/reference (read-only) on seeded
+random weights/inputs and saves inputs + outputs as .npz files under
+tests/golden/. The JAX framework's tests compare against these fixtures
+only — they never import the reference — so the test suite is
+self-contained once the fixtures are committed.
+
+torchvision is not installed in this image; reference utils/util.py
+imports it for ops.nms, so we register an equivalent-semantics stub
+(greedy IoU NMS, keep while IoU <= threshold) before importing.
+
+Usage: python tools/make_goldens.py [outdir]
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+REF = "/root/reference"
+OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    os.path.dirname(__file__), "..", "tests", "golden")
+
+
+def _nms_stub(boxes, scores, iou_threshold):
+    """torchvision.ops.nms semantics: greedy by score, suppress IoU > thr."""
+    boxes = boxes.detach().cpu().numpy()
+    scores = scores.detach().cpu().numpy()
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(int(i))
+        if order.size == 1:
+            break
+        rest = order[1:]
+        x1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / (area_i + area_r - inter + 1e-12)
+        order = rest[iou <= iou_threshold]
+    return torch.as_tensor(keep, dtype=torch.int64)
+
+
+def install_stubs():
+    tv = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.nms = _nms_stub
+    tv.ops = tv_ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv_ops
+    sys.path.insert(0, REF)
+
+
+def save(name, **arrays):
+    path = os.path.join(OUT, name)
+    np.savez_compressed(path, **arrays)
+    size = os.path.getsize(path) / 1e6
+    print(f"wrote {path} ({size:.2f} MB, {len(arrays)} arrays)")
+
+
+def golden_model():
+    from nets import nn
+
+    torch.manual_seed(0)
+    model = nn.yolo_v11_n(80)
+    model.eval()
+
+    torch.manual_seed(1)
+    x = torch.rand(2, 3, 256, 256)
+
+    with torch.no_grad():
+        eval_out = model(x)
+
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    model.train()
+    with torch.no_grad():
+        train_out = model(x.clone())
+
+    # intermediate backbone/fpn features for debugging parity failures
+    model.eval()
+    with torch.no_grad():
+        feats = model.net(x)
+        fpn_feats = model.fpn(feats)
+
+    save("model_n.npz",
+         input=x.numpy(),
+         eval_out=eval_out.numpy(),
+         train_out_0=train_out[0].numpy(),
+         train_out_1=train_out[1].numpy(),
+         train_out_2=train_out[2].numpy(),
+         p3=feats[0].numpy(), p4=feats[1].numpy(), p5=feats[2].numpy(),
+         f3=fpn_feats[0].numpy(), f4=fpn_feats[1].numpy(), f5=fpn_feats[2].numpy(),
+         **{"sd." + k: v for k, v in state.items()})
+    return model, x
+
+
+def golden_nms(model, x):
+    from utils import util
+
+    model.eval()
+    with torch.no_grad():
+        outputs = model(x)
+    # raise scores so some boxes clear the multi-label threshold interestingly
+    dets = util.non_max_suppression(outputs.float())
+    arrays = {"outputs": outputs.numpy()}
+    for i, d in enumerate(dets):
+        arrays[f"det_{i}"] = d.numpy()
+
+    # controlled synthetic case: known overlaps, scores, classes
+    rng = np.random.RandomState(7)
+    a = 64
+    cx = rng.uniform(40, 600, a)
+    cy = rng.uniform(40, 600, a)
+    w = rng.uniform(20, 120, a)
+    h = rng.uniform(20, 120, a)
+    cls_scores = rng.uniform(0, 1, (80, a)) ** 4  # sparse-ish high scores
+    synth = np.concatenate([np.stack([cx, cy, w, h]), cls_scores], 0)[None].astype(np.float32)
+    sdets = util.non_max_suppression(torch.from_numpy(synth))
+    arrays["synth"] = synth
+    arrays["synth_det"] = sdets[0].numpy()
+    save("nms.npz", **arrays)
+
+
+def golden_assigner():
+    from utils import util
+
+    torch.manual_seed(3)
+    b, a, nc, n_max = 2, 336, 80, 8
+    pd_scores = torch.rand(b, a, nc)
+    anc = torch.rand(a, 2) * 256
+    # predicted boxes around anchors
+    half = torch.rand(a, 4) * 30 + 2
+    pd_boxes = torch.cat([anc - half[:, :2], anc + half[:, 2:]], 1).unsqueeze(0).repeat(b, 1, 1)
+    pd_boxes += torch.rand(b, a, 4) * 4
+    gt_cx = torch.rand(b, n_max, 1) * 220 + 18
+    gt_cy = torch.rand(b, n_max, 1) * 220 + 18
+    gt_w = torch.rand(b, n_max, 1) * 100 + 10
+    gt_h = torch.rand(b, n_max, 1) * 100 + 10
+    gt_boxes = torch.cat([gt_cx - gt_w / 2, gt_cy - gt_h / 2,
+                          gt_cx + gt_w / 2, gt_cy + gt_h / 2], -1)
+    gt_labels = torch.randint(0, nc, (b, n_max, 1)).float()
+    mask_gt = torch.ones(b, n_max, 1)
+    mask_gt[0, 5:] = 0  # image 0 has only 5 real boxes
+    gt_boxes = gt_boxes * mask_gt
+
+    assigner = util.Assigner(nc=nc, top_k=10, alpha=0.5, beta=6.0)
+    tb, ts, fg = assigner(pd_scores, pd_boxes, anc, gt_labels, gt_boxes, mask_gt)
+    save("assigner.npz",
+         pd_scores=pd_scores.numpy(), pd_boxes=pd_boxes.numpy(), anc=anc.numpy(),
+         gt_labels=gt_labels.numpy(), gt_boxes=gt_boxes.numpy(), mask_gt=mask_gt.numpy(),
+         target_bboxes=tb.numpy(), target_scores=ts.numpy(), fg_mask=fg.numpy())
+
+
+def golden_loss(model, x):
+    from utils import util
+
+    params = {"box": 7.5, "cls": 0.5, "dfl": 1.5}
+    criterion = util.ComputeLoss(model, params)
+    model.train()
+    with torch.no_grad():
+        outputs = model(x)
+
+    torch.manual_seed(5)
+    n0, n1 = 6, 4
+    idx = torch.cat([torch.zeros(n0), torch.ones(n1)])
+    cls = torch.randint(0, 80, (n0 + n1,)).float()
+    box = torch.rand(n0 + n1, 4) * 0.4 + 0.05  # normalized xywh, in-bounds
+    targets = {"idx": idx, "cls": cls, "box": box}
+    lb, lc, ld = criterion(outputs, targets)
+    save("loss.npz",
+         idx=idx.numpy(), cls=cls.numpy(), box=box.numpy(),
+         loss_box=lb.detach().numpy(), loss_cls=lc.detach().numpy(),
+         loss_dfl=ld.detach().numpy())
+
+
+def golden_ciou():
+    from utils import util
+
+    torch.manual_seed(11)
+    b1 = torch.rand(64, 4) * 200
+    b1 = torch.cat([b1[:, :2], b1[:, :2] + torch.rand(64, 2) * 120 + 1], 1)
+    b2 = torch.rand(64, 4) * 200
+    b2 = torch.cat([b2[:, :2], b2[:, :2] + torch.rand(64, 2) * 120 + 1], 1)
+    v = util.compute_iou(b1, b2)
+    save("ciou.npz", b1=b1.numpy(), b2=b2.numpy(), ciou=v.numpy())
+
+
+def golden_metrics():
+    from utils import util
+
+    rng = np.random.RandomState(13)
+    iou_v = torch.linspace(0.5, 0.95, 10)
+
+    n_det, n_gt = 40, 25
+    gt_boxes = rng.uniform(0, 500, (n_gt, 2))
+    gt_boxes = np.concatenate([gt_boxes, gt_boxes + rng.uniform(20, 120, (n_gt, 2))], 1)
+    gt_cls = rng.randint(0, 10, (n_gt, 1)).astype(np.float32)
+    target = torch.from_numpy(np.concatenate([gt_cls, gt_boxes], 1).astype(np.float32))
+
+    jitter = rng.uniform(-12, 12, (n_det, 4))
+    det_boxes = np.concatenate([gt_boxes, gt_boxes[:15]], 0) + jitter
+    det_conf = rng.uniform(0.05, 1.0, (n_det, 1))
+    det_cls = np.concatenate([gt_cls, gt_cls[:15]], 0).copy()
+    det_cls[::7] = (det_cls[::7] + 1) % 10  # some wrong classes
+    output = torch.from_numpy(
+        np.concatenate([det_boxes, det_conf, det_cls], 1).astype(np.float32))
+
+    correct = util.compute_metric(output, target, iou_v)
+
+    tp = correct.numpy()
+    conf = det_conf[:, 0]
+    pred_cls = det_cls[:, 0]
+    target_cls = gt_cls[:, 0]
+    res = util.compute_ap(tp.copy(), conf.copy(), pred_cls.copy(), target_cls.copy())
+    tp_o, fp_o, m_pre, m_rec, map50, mean_ap = res
+    save("metrics.npz",
+         output=output.numpy(), target=target.numpy(), iou_v=iou_v.numpy(),
+         correct=tp,
+         conf=conf, pred_cls=pred_cls, target_cls=target_cls,
+         m_pre=np.float64(m_pre), m_rec=np.float64(m_rec),
+         map50=np.float64(map50), mean_ap=np.float64(mean_ap))
+
+
+def golden_letterbox():
+    from utils import dataset as ds
+
+    rng = np.random.RandomState(17)
+    for name, (h, w) in {"tall": (800, 500), "wide": (300, 700), "small": (200, 300)}.items():
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        out, ratio, pad = ds.resize(img.copy(), 640, augment=False)
+        save(f"letterbox_{name}.npz", image=img, out=out,
+             ratio=np.array(ratio), pad=np.array(pad))
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    install_stubs()
+    torch.set_grad_enabled(False)
+    model, x = golden_model()
+    golden_nms(model, x)
+    golden_assigner()
+    golden_loss(model, x)
+    golden_ciou()
+    golden_metrics()
+    golden_letterbox()
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

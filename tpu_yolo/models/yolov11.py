@@ -1,0 +1,293 @@
+"""YOLOv11 (n/t/s/m/l/x) as pure functions: backbone -> FPN -> head.
+
+Functional rebuild of reference nets/nn.py:151-347 (DarkNet, DarkFPN,
+Head, YOLO). Params are an explicit nested pytree whose keys mirror the
+architecture (net/p1..p5, fpn/h1..h6, head/box|cls), NHWC activations,
+static strides (8, 16, 32) — no dummy-forward construction
+(cf. nets/nn.py:288-290) and no mutating fuse() method (BN folding is an
+offline param transform, see `fold_batchnorm`).
+
+Forward entry points:
+  forward_raw(params, x, cfg, ctx)   -> 3 per-level maps (B,H,W,4*reg_max+nc)
+  decode_predictions(raw, cfg, hw)   -> (B, A, 4+nc) pixel xywh + class probs
+  forward(params, x, cfg, train=..) -> raw maps (train) or decoded (eval)
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_yolo.core.config import ModelConfig
+from tpu_yolo.ops import blocks
+from tpu_yolo.ops.anchors import make_anchors
+from tpu_yolo.ops.boxes import dfl_decode
+from tpu_yolo.ops.nn import Context, conv_bn, identity, sub, upsample2x
+
+# ---------------------------------------------------------------------------
+# Initialization (torch-default kaiming-uniform so training matches the
+# reference's statistical starting point).
+# ---------------------------------------------------------------------------
+
+
+def _init_conv(key, in_ch, out_ch, k=1, groups=1, bias=False):
+    fan_in = (in_ch // groups) * k * k
+    bound = 1.0 / math.sqrt(fan_in)
+    wkey, bkey = jax.random.split(key)
+    p = {"w": jax.random.uniform(wkey, (k, k, in_ch // groups, out_ch),
+                                 jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(bkey, (out_ch,), jnp.float32, -bound, bound)
+    return p
+
+
+def _init_conv_bn(key, in_ch, out_ch, k=1, groups=1):
+    p = _init_conv(key, in_ch, out_ch, k, groups)
+    p.update(
+        gamma=jnp.ones(out_ch, jnp.float32),
+        beta=jnp.zeros(out_ch, jnp.float32),
+        mean=jnp.zeros(out_ch, jnp.float32),
+        var=jnp.ones(out_ch, jnp.float32),
+    )
+    return p
+
+
+class _KeyGen:
+    def __init__(self, key):
+        self.key = key
+
+    def __call__(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+
+def _init_residual(kg, ch, e=0.5):
+    mid = int(ch * e)
+    return {"conv1": _init_conv_bn(kg(), ch, mid, k=3),
+            "conv2": _init_conv_bn(kg(), mid, ch, k=3)}
+
+
+def _init_csp_module(kg, in_ch, out_ch):
+    half = out_ch // 2
+    return {
+        "conv1": _init_conv_bn(kg(), in_ch, half),
+        "conv2": _init_conv_bn(kg(), in_ch, half),
+        "conv3": _init_conv_bn(kg(), 2 * half, out_ch),
+        "m": [_init_residual(kg, half, e=1.0), _init_residual(kg, half, e=1.0)],
+    }
+
+
+def _init_csp(kg, in_ch, out_ch, n, use_csp_module, r):
+    hidden = out_ch // r
+    return {
+        "conv1": _init_conv_bn(kg(), in_ch, 2 * hidden),
+        "conv2": _init_conv_bn(kg(), (2 + n) * hidden, out_ch),
+        "m": [(_init_csp_module(kg, hidden, hidden) if use_csp_module
+               else _init_residual(kg, hidden)) for _ in range(n)],
+    }
+
+
+def _init_sppf(kg, in_ch, out_ch):
+    return {"conv1": _init_conv_bn(kg(), in_ch, in_ch // 2),
+            "conv2": _init_conv_bn(kg(), in_ch * 2, out_ch)}
+
+
+def _init_attention(kg, ch, num_head):
+    dh = ch // num_head
+    dk = dh // 2
+    return {
+        "qkv": _init_conv_bn(kg(), ch, ch + 2 * dk * num_head),
+        "pe": _init_conv_bn(kg(), ch, ch, k=3, groups=ch),
+        "proj": _init_conv_bn(kg(), ch, ch),
+    }
+
+
+def _init_psa_block(kg, ch, num_head):
+    return {
+        "attn": _init_attention(kg, ch, num_head),
+        "ffn": [_init_conv_bn(kg(), ch, ch * 2), _init_conv_bn(kg(), ch * 2, ch)],
+    }
+
+
+def _init_psa(kg, ch, n):
+    half = ch // 2
+    return {
+        "conv1": _init_conv_bn(kg(), ch, 2 * half),
+        "conv2": _init_conv_bn(kg(), 2 * half, ch),
+        "m": [_init_psa_block(kg, half, max(ch // 128, 1)) for _ in range(n)],
+    }
+
+
+def init_params(key, cfg: ModelConfig):
+    """Build the full parameter pytree for one model size."""
+    kg = _KeyGen(key)
+    w, d, csp_flags = cfg.width, cfg.depth, cfg.csp
+
+    net = {
+        "p1": [_init_conv_bn(kg(), w[0], w[1], k=3)],
+        "p2": [_init_conv_bn(kg(), w[1], w[2], k=3),
+               _init_csp(kg, w[2], w[3], d[0], csp_flags[0], r=4)],
+        "p3": [_init_conv_bn(kg(), w[3], w[3], k=3),
+               _init_csp(kg, w[3], w[4], d[1], csp_flags[0], r=4)],
+        "p4": [_init_conv_bn(kg(), w[4], w[4], k=3),
+               _init_csp(kg, w[4], w[4], d[2], csp_flags[1], r=2)],
+        "p5": [_init_conv_bn(kg(), w[4], w[5], k=3),
+               _init_csp(kg, w[5], w[5], d[3], csp_flags[1], r=2),
+               _init_sppf(kg, w[5], w[5]),
+               _init_psa(kg, w[5], d[4])],
+    }
+    fpn = {
+        "h1": _init_csp(kg, w[4] + w[5], w[4], d[5], csp_flags[0], r=2),
+        "h2": _init_csp(kg, w[4] + w[4], w[3], d[5], csp_flags[0], r=2),
+        "h3": _init_conv_bn(kg(), w[3], w[3], k=3),
+        "h4": _init_csp(kg, w[3] + w[4], w[4], d[5], csp_flags[0], r=2),
+        "h5": _init_conv_bn(kg(), w[4], w[4], k=3),
+        "h6": _init_csp(kg, w[4] + w[5], w[5], d[5], csp_flags[1], r=2),
+    }
+
+    nc, reg = cfg.num_classes, cfg.reg_max
+    filters = cfg.head_filters
+    box_ch = max(64, filters[0] // 4)
+    cls_ch = max(80, filters[0], nc)
+    head = {"box": [], "cls": []}
+    for i, f in enumerate(filters):
+        head["box"].append([
+            _init_conv_bn(kg(), f, box_ch, k=3),
+            _init_conv_bn(kg(), box_ch, box_ch, k=3),
+            _init_conv(kg(), box_ch, 4 * reg, bias=True),
+        ])
+        head["cls"].append([
+            _init_conv_bn(kg(), f, f, k=3, groups=f),
+            _init_conv_bn(kg(), f, cls_ch),
+            _init_conv_bn(kg(), cls_ch, cls_ch, k=3, groups=cls_ch),
+            _init_conv_bn(kg(), cls_ch, cls_ch),
+            _init_conv(kg(), cls_ch, nc, bias=True),
+        ])
+        # Prior-aware bias init (reference Head.initialize_biases, nn.py:272-279).
+        s = cfg.strides[i]
+        head["box"][i][2]["b"] = jnp.ones(4 * reg, jnp.float32)
+        head["cls"][i][4]["b"] = jnp.full(nc, math.log(5 / nc / (640 / s) ** 2), jnp.float32)
+
+    return {"net": net, "fpn": fpn, "head": head}
+
+
+# ---------------------------------------------------------------------------
+# Forward pass.
+# ---------------------------------------------------------------------------
+
+
+def _backbone(p, x, ctx, cfg: ModelConfig):
+    csp0, csp1 = cfg.csp
+    c = lambda pp, xx, path, **kw: conv_bn(pp, xx, ctx, path, **kw)
+
+    x = c(p["p1"][0], x, "net/p1/0", stride=2, padding=1)
+
+    x = c(p["p2"][0], x, "net/p2/0", stride=2, padding=1)
+    x = blocks.csp(p["p2"][1], x, ctx, "net/p2/1", csp0)
+
+    x = c(p["p3"][0], x, "net/p3/0", stride=2, padding=1)
+    p3 = blocks.csp(p["p3"][1], x, ctx, "net/p3/1", csp0)
+
+    x = c(p["p4"][0], p3, "net/p4/0", stride=2, padding=1)
+    p4 = blocks.csp(p["p4"][1], x, ctx, "net/p4/1", csp1)
+
+    x = c(p["p5"][0], p4, "net/p5/0", stride=2, padding=1)
+    x = blocks.csp(p["p5"][1], x, ctx, "net/p5/1", csp1)
+    x = blocks.sppf(p["p5"][2], x, ctx, "net/p5/2")
+    p5 = blocks.psa(p["p5"][3], x, ctx, "net/p5/3", max(cfg.width[5] // 128, 1))
+
+    return p3, p4, p5
+
+
+def _fpn(p, feats, ctx, cfg: ModelConfig):
+    csp0, csp1 = cfg.csp
+    p3, p4, p5 = feats
+    h4 = blocks.csp(p["h1"], jnp.concatenate((upsample2x(p5), p4), -1), ctx, "fpn/h1", csp0)
+    h3 = blocks.csp(p["h2"], jnp.concatenate((upsample2x(h4), p3), -1), ctx, "fpn/h2", csp0)
+    d3 = conv_bn(p["h3"], h3, ctx, "fpn/h3", stride=2, padding=1)
+    h4b = blocks.csp(p["h4"], jnp.concatenate((d3, h4), -1), ctx, "fpn/h4", csp0)
+    d4 = conv_bn(p["h5"], h4b, ctx, "fpn/h5", stride=2, padding=1)
+    h5b = blocks.csp(p["h6"], jnp.concatenate((d4, p5), -1), ctx, "fpn/h6", csp1)
+    return h3, h4b, h5b
+
+
+def _head(p, feats, ctx, cfg: ModelConfig):
+    outs = []
+    for i, x in enumerate(feats):
+        bp, cp = p["box"][i], p["cls"][i]
+        b = conv_bn(bp[0], x, ctx, sub("head/box", i, 0), padding=1)
+        b = conv_bn(bp[1], b, ctx, sub("head/box", i, 1), padding=1)
+        b = conv_bn(bp[2], b, ctx, sub("head/box", i, 2), act=identity)
+        g = x.shape[-1]
+        c = conv_bn(cp[0], x, ctx, sub("head/cls", i, 0), padding=1, groups=g)
+        c = conv_bn(cp[1], c, ctx, sub("head/cls", i, 1))
+        c = conv_bn(cp[2], c, ctx, sub("head/cls", i, 2), padding=1, groups=c.shape[-1])
+        c = conv_bn(cp[3], c, ctx, sub("head/cls", i, 3))
+        c = conv_bn(cp[4], c, ctx, sub("head/cls", i, 4), act=identity)
+        outs.append(jnp.concatenate((b, c), axis=-1))
+    return outs
+
+
+def forward_raw(params, x, cfg: ModelConfig, ctx: Context | None = None):
+    """Full graph -> list of 3 NHWC maps (B, H/s, W/s, 4*reg_max + nc)."""
+    ctx = ctx or Context(train=False)
+    feats = _backbone(params["net"], x, ctx, cfg)
+    feats = _fpn(params["fpn"], feats, ctx, cfg)
+    return _head(params["head"], feats, ctx, cfg)
+
+
+def decode_predictions(raw_maps, cfg: ModelConfig, input_hw):
+    """Eval-path decode (reference Head eval branch, nets/nn.py:261-270).
+
+    Returns (B, A, 4+nc): pixel-space xywh boxes + sigmoid class scores.
+    """
+    b = raw_maps[0].shape[0]
+    no = cfg.no
+    flat = jnp.concatenate([m.reshape(b, -1, no) for m in raw_maps], axis=1)
+    dist, cls = jnp.split(flat, (4 * cfg.reg_max,), axis=-1)
+
+    anchors, stride_t = make_anchors(input_hw, cfg.strides)
+    anchors = jnp.asarray(anchors, dtype=jnp.float32)
+    stride_t = jnp.asarray(stride_t, dtype=jnp.float32)
+
+    box = dfl_decode(dist, anchors, cfg.reg_max, xywh=True) * stride_t
+    return jnp.concatenate((box, jax.nn.sigmoid(cls.astype(jnp.float32))), axis=-1)
+
+
+def forward(params, x, cfg: ModelConfig, train: bool = False, ctx: Context | None = None):
+    """Train -> raw per-level maps; eval -> decoded (B, A, 4+nc)."""
+    if train:
+        return forward_raw(params, x, cfg, ctx or Context(train=True))
+    raw = forward_raw(params, x, cfg)
+    return decode_predictions(raw, cfg, (x.shape[1], x.shape[2]))
+
+
+# ---------------------------------------------------------------------------
+# BN folding (offline param transform; replaces reference YOLO.fuse,
+# nets/nn.py:299-305, which mutates modules at runtime).
+# ---------------------------------------------------------------------------
+
+
+def fold_batchnorm(params):
+    """Fold every {'w',gamma,beta,mean,var} conv into {'w','b'}.
+
+    W' = W * gamma/sqrt(var+eps) (per output channel);
+    b' = beta - mean*gamma/sqrt(var+eps)   (reference fuse math, nn.py:17-23).
+    """
+    from tpu_yolo.ops.nn import BN_EPS
+
+    def _fold(node):
+        if isinstance(node, dict):
+            if "gamma" in node:
+                scale = node["gamma"] / np.sqrt(np.asarray(node["var"]) + BN_EPS)
+                w = np.asarray(node["w"]) * np.asarray(scale)[None, None, None, :]
+                b = np.asarray(node["beta"]) - np.asarray(node["mean"]) * np.asarray(scale)
+                return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+            return {k: _fold(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [_fold(v) for v in node]
+        return node
+
+    return _fold(params)

@@ -1,0 +1,101 @@
+"""YOLOv11 composite blocks as pure functions over param pytrees.
+
+Functional counterparts of reference nets/nn.py:42-148 (Residual,
+CSPModule, CSP, SPP, Attention, PSABlock, PSA). Channel counts are
+implied by the param shapes; only topology flags are static arguments.
+All tensors are NHWC.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_yolo.ops.nn import Context, conv_bn, identity, max_pool, silu, sub
+
+
+def residual(p, x, ctx: Context, path: str):
+    """Two 3x3 convs with a skip (reference Residual, nn.py:42-49)."""
+    y = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"), padding=1)
+    y = conv_bn(p["conv2"], y, ctx, sub(path, "conv2"), padding=1)
+    return x + y
+
+
+def csp_module(p, x, ctx: Context, path: str):
+    """C3k-style inner module (reference CSPModule, nn.py:52-63)."""
+    y = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"))
+    for i, rp in enumerate(p["m"]):
+        y = residual(rp, y, ctx, sub(path, "m", i))
+    z = conv_bn(p["conv2"], x, ctx, sub(path, "conv2"))
+    return conv_bn(p["conv3"], jnp.concatenate((y, z), axis=-1), ctx, sub(path, "conv3"))
+
+
+def csp(p, x, ctx: Context, path: str, use_csp_module: bool):
+    """C3k2-style CSP stage (reference CSP, nn.py:66-80).
+
+    conv1 -> split 2 -> n chained inner blocks on the tail -> concat(2+n)
+    -> conv2.
+    """
+    y = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"))
+    parts = list(jnp.split(y, 2, axis=-1))
+    for i, mp in enumerate(p["m"]):
+        if use_csp_module:
+            parts.append(csp_module(mp, parts[-1], ctx, sub(path, "m", i)))
+        else:
+            parts.append(residual(mp, parts[-1], ctx, sub(path, "m", i)))
+    return conv_bn(p["conv2"], jnp.concatenate(parts, axis=-1), ctx, sub(path, "conv2"))
+
+
+def sppf(p, x, ctx: Context, path: str, k: int = 5):
+    """Spatial pyramid pooling - fast (reference SPP, nn.py:83-94)."""
+    x = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"))
+    y1 = max_pool(x, k)
+    y2 = max_pool(y1, k)
+    y3 = max_pool(y2, k)
+    return conv_bn(p["conv2"], jnp.concatenate((x, y1, y2, y3), axis=-1), ctx, sub(path, "conv2"))
+
+
+def attention(p, x, ctx: Context, path: str, num_head: int):
+    """Single-level self-attention with depthwise positional branch
+    (reference Attention, nn.py:97-123).
+
+    Channel split per head is [dk | dk | dh] with dk = dh/2, matching the
+    reference's head-major torch .view/.split layout — in NHWC the channel
+    axis is last, so the same contiguous grouping applies.
+    """
+    b, h, w, c = x.shape
+    dh = c // num_head
+    dk = dh // 2
+    t = h * w
+
+    qkv = conv_bn(p["qkv"], x, ctx, sub(path, "qkv"), act=identity)
+    qkv = qkv.reshape(b, t, num_head, 2 * dk + dh)
+    q, k, v = jnp.split(qkv, (dk, 2 * dk), axis=-1)
+
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32) * (dk ** -0.5)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(b, h, w, c)
+
+    v_img = v.reshape(b, h, w, c)
+    pos = conv_bn(p["pe"], v_img, ctx, sub(path, "pe"), padding=1, groups=c, act=identity)
+    return conv_bn(p["proj"], out + pos, ctx, sub(path, "proj"), act=identity)
+
+
+def psa_block(p, x, ctx: Context, path: str, num_head: int):
+    """Residual attention + 2-layer conv MLP (reference PSABlock, nn.py:126-136)."""
+    x = x + attention(p["attn"], x, ctx, sub(path, "attn"), num_head)
+    y = conv_bn(p["ffn"][0], x, ctx, sub(path, "ffn", 0))
+    y = conv_bn(p["ffn"][1], y, ctx, sub(path, "ffn", 1), act=identity)
+    return x + y
+
+
+def psa(p, x, ctx: Context, path: str, num_head: int):
+    """Partial self-attention wrapper (reference PSA, nn.py:139-148):
+    split channels, attend on half, concat, project."""
+    y = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"))
+    a, bperm = jnp.split(y, 2, axis=-1)
+    for i, bp in enumerate(p["m"]):
+        bperm = psa_block(bp, bperm, ctx, sub(path, "m", i), num_head)
+    return conv_bn(p["conv2"], jnp.concatenate((a, bperm), axis=-1), ctx, sub(path, "conv2"))

@@ -1,0 +1,139 @@
+"""Low-level NHWC primitives: conv+BN(+SiLU), pooling, upsampling.
+
+TPU-first design notes:
+  * Layout is NHWC / HWIO so XLA tiles convs straight onto the MXU.
+  * BatchNorm is algebraic, not a module: in eval it is a per-channel
+    scale/bias fused by XLA into the convolution; checkpoints loaded for
+    inference fold it into the conv weights entirely (see io/weights.py),
+    so the jitted graph never contains BN (reference fuses at runtime via
+    nets/nn.py:8-25,299-305).
+  * Batch-stat updates are collected functionally through a `Context`
+    object during tracing and applied to the param tree outside the
+    gradient, replacing torch's in-module mutable running stats.
+  * Under pjit with the batch sharded over the data mesh axis, the batch
+    statistics below are computed over the *global* batch — XLA inserts
+    the cross-chip reduction — which gives SyncBatchNorm semantics
+    (reference: torch SyncBatchNorm, main.py:81-84) for free.
+
+BN hyperparameters eps=1e-3, momentum=0.03 match the reference
+(nets/nn.py:32) for checkpoint fold-parity.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.03
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def identity(x):
+    return x
+
+
+@dataclasses.dataclass
+class Context:
+    """Carries trace-time state through the functional forward pass.
+
+    `updates` maps a param-tree path ("net/p1/0") to its new BN running
+    stats; the train step applies them to the param tree after grad.
+    """
+
+    train: bool = False
+    updates: dict = dataclasses.field(default_factory=dict)
+
+    def put(self, path: str, mean, var):
+        if self.train:
+            self.updates[path] = {"mean": mean, "var": var}
+
+
+def sub(path: str, *parts) -> str:
+    return "/".join([path, *map(str, parts)]) if path else "/".join(map(str, parts))
+
+
+def conv2d(x, w, stride: int = 1, padding: int = 0, groups: int = 1):
+    """NHWC x HWIO convolution."""
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding: int = 0,
+            groups: int = 1, act=silu):
+    """Conv (+BatchNorm unless folded) (+activation).
+
+    Param forms:
+      {'w','gamma','beta','mean','var'} — unfolded (training / raw load)
+      {'w','b'}                         — BN folded in, or a plain conv
+    """
+    w = p["w"].astype(x.dtype)
+    y = conv2d(x, w, stride=stride, padding=padding, groups=groups)
+
+    if "b" in p:
+        return act(y + p["b"].astype(y.dtype))
+
+    if ctx.train:
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+        var = jnp.maximum(var, 0.0)
+        n = yf.shape[0] * yf.shape[1] * yf.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        ctx.put(
+            path,
+            (1.0 - BN_MOMENTUM) * p["mean"] + BN_MOMENTUM * mean,
+            (1.0 - BN_MOMENTUM) * p["var"] + BN_MOMENTUM * unbiased,
+        )
+        yf = (yf - mean) * lax.rsqrt(var + BN_EPS) * p["gamma"] + p["beta"]
+        return act(yf.astype(x.dtype))
+
+    scale = p["gamma"] * lax.rsqrt(p["var"] + BN_EPS)
+    bias = p["beta"] - p["mean"] * scale
+    return act(y * scale.astype(y.dtype) + bias.astype(y.dtype))
+
+
+def max_pool(x, k: int, stride: int = 1, padding: int | None = None):
+    if padding is None:
+        padding = k // 2
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def upsample2x(x):
+    """Nearest-neighbour 2x upsample (reference torch.nn.Upsample, nn.py:195)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def apply_stat_updates(params, updates: dict):
+    """Write collected BN running-stat updates back into the param pytree."""
+    for path, new in updates.items():
+        node = params
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node[int(k)] if k.isdigit() else node[k]
+        leaf_key = keys[-1]
+        leaf = node[int(leaf_key)] if leaf_key.isdigit() else node[leaf_key]
+        leaf["mean"] = new["mean"]
+        leaf["var"] = new["var"]
+    return params
