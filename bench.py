@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark: YOLOv11-n @640, uint8 in -> NMS out.
+
+Measures the full on-device pipeline the serving path runs — normalize
+(/255, the device side of preprocessing), forward, DFL decode, batched
+NMS — in images/sec on one chip, and p50 single-image latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N, ...}
+vs_baseline is against the 2,000 img/s/chip north-star (BASELINE.json);
+the reference publishes no throughput numbers at all (SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_step(cfg, params, batch):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.ops.nms import batched_nms
+
+    @jax.jit
+    def step(p, images):
+        x = images.astype(jnp.bfloat16) / jnp.bfloat16(255)
+        preds = yolov11.forward(p, x, cfg, train=False)
+        return batched_nms(preds)
+
+    return step
+
+
+def run(batch: int = 64, size: int = 640, iters: int = 30, warmup: int = 5):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+    from tpu_yolo.core.config import get_model_config
+    from tpu_yolo.models import yolov11
+
+    cfg = get_model_config("n")
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), cfg))
+    step = build_step(cfg, params, batch)
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 256, (batch, size, size, 3), np.uint8))
+
+    for _ in range(warmup):
+        jax.block_until_ready(step(params, images))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(params, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    throughput = batch * iters / dt
+
+    # p50 single-image latency
+    one = images[:1]
+    jax.block_until_ready(step(params, one))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(params, one))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    return throughput, p50_ms, str(jax.devices()[0].platform)
+
+
+def main():
+    throughput, p50_ms, platform = run()
+    baseline = 2000.0  # img/s/chip north-star (BASELINE.json)
+    print(json.dumps({
+        "metric": "e2e_throughput_yolov11n_640_bs64_norm+fwd+nms",
+        "value": round(throughput, 1),
+        "unit": "img/s",
+        "vs_baseline": round(throughput / baseline, 3),
+        "p50_latency_ms_bs1": round(p50_ms, 2),
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

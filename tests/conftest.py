@@ -3,7 +3,7 @@ sharding is testable without a TPU (SPMD code is identical; only the
 platform differs)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,6 +14,12 @@ import numpy as np
 import pytest
 
 import jax
+
+# This container's sitecustomize may force-register a TPU PJRT plugin at
+# interpreter startup, which overrides the JAX_PLATFORMS env var; the
+# config update below wins as long as no backend has been used yet, so
+# tests really run on the 8-device virtual CPU mesh, not the shared chip.
+jax.config.update("jax_platforms", "cpu")
 
 # Golden-parity tests compare f32 numerics against the torch reference;
 # XLA's default conv/matmul precision on CPU/TPU uses fast lower-precision

@@ -1,0 +1,124 @@
+"""COCO-val evaluation loop: device forward + batched NMS -> host AP.
+
+Counterpart of reference main.py:224-304 (test()). Differences are the
+TPU-native inversions, not behavior:
+
+  * the model runs in bfloat16 (reference runs .half(), main.py:251);
+  * normalization (/255) happens on device from raw uint8 batches
+    (reference main.py:265-267 converts on device too, but from float
+    host tensors — we ship 4x fewer bytes over PCIe/DCN);
+  * NMS is the batched fixed-shape on-device kernel (ops/nms.py), not a
+    per-image torchvision call, so the whole batch returns in one
+    device->host transfer;
+  * the TP-matrix match and AP integration stay host-side numpy exactly
+    like the reference (utils/util.py:99-120, 225-300) — they are tiny.
+
+mAP is computed in letterboxed pixel space (GT scaled by the letterboxed
+w/h, reference main.py:269,291) — a frozen contract for parity.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_yolo.core.config import ModelConfig
+from tpu_yolo.eval.metrics import average_precision, match_predictions
+from tpu_yolo.models import yolov11
+from tpu_yolo.ops.nms import batched_nms
+
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "conf_thres",
+                                             "iou_thres", "max_det"))
+def predict_step(params, images, *, cfg: ModelConfig,
+                 compute_dtype=jnp.bfloat16, conf_thres: float = 0.001,
+                 iou_thres: float = 0.65, max_det: int = 300):
+    """uint8 NHWC batch -> NMS'd detections, entirely on device."""
+    x = images.astype(compute_dtype) / compute_dtype(255)
+    preds = yolov11.forward(params, x, cfg, train=False)
+    return batched_nms(preds, conf_thres=conf_thres, iou_thres=iou_thres,
+                       max_det=max_det)
+
+
+def _gt_pixel_boxes(targets: dict, image_index: int, input_hw) -> np.ndarray:
+    """One image's GT as (M, 5) [cls, x1, y1, x2, y2] letterboxed pixels
+    (reference main.py:269,286-291)."""
+    idx = np.asarray(targets["idx"]).reshape(-1)
+    rows = idx == image_index
+    cls = np.asarray(targets["cls"], np.float32).reshape(-1, 1)[rows]
+    box = np.asarray(targets["box"], np.float32).reshape(-1, 4)[rows]
+    if box.shape[0] == 0:
+        return np.zeros((0, 5), np.float32)
+    h, w = input_hw
+    scale = np.array([w, h, w, h], np.float32)
+    px = box * scale
+    xyxy = np.concatenate([px[:, :2] - px[:, 2:] / 2,
+                           px[:, :2] + px[:, 2:] / 2], axis=1)
+    return np.concatenate([cls, xyxy], axis=1)
+
+
+def evaluate(params, loader, cfg: ModelConfig, input_size: int,
+             plot_dir: str | None = None, names=(),
+             compute_dtype=jnp.bfloat16, device_put_fn=None,
+             progress: bool = False):
+    """Run the full eval pass.
+
+    Args:
+      params: (BN-folded or raw) param pytree.
+      loader: yields (images uint8 (B,H,W,3), targets dict) batches.
+      device_put_fn: optional fn(array)->sharded device array for DP eval.
+    Returns:
+      (mAP, mAP50, recall, precision) — the reference test() tuple.
+    """
+    step = functools.partial(predict_step, cfg=cfg, compute_dtype=compute_dtype)
+
+    all_tp, all_conf, all_pcls, all_tcls = [], [], [], []
+    n_batches = None
+    it = loader
+    if progress:
+        import tqdm
+        it = tqdm.tqdm(loader, total=len(loader), desc="eval")
+
+    batch_size = None
+    for images, targets in it:
+        if batch_size is None:
+            batch_size = images.shape[0]
+        n = images.shape[0]
+        if n < batch_size:  # pad final batch to keep one compiled shape
+            pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        x = device_put_fn(images) if device_put_fn else images
+        out = step(params, x)
+        out = jax.device_get(out)
+
+        for b in range(n):
+            cnt = int(out["count"][b])
+            det = np.zeros((cnt, 6), np.float32)
+            det[:, :4] = out["boxes"][b][:cnt]
+            det[:, 4] = out["scores"][b][:cnt]
+            det[:, 5] = out["classes"][b][:cnt]
+            gt = _gt_pixel_boxes(targets, b, (input_size, input_size))
+            if cnt == 0:
+                if gt.shape[0]:
+                    all_tcls.append(gt[:, 0])
+                continue
+            tp = match_predictions(det, gt, IOU_THRESHOLDS)
+            all_tp.append(tp)
+            all_conf.append(det[:, 4])
+            all_pcls.append(det[:, 5])
+            all_tcls.append(gt[:, 0])
+
+    if not all_tp:
+        return 0.0, 0.0, 0.0, 0.0
+
+    tp = np.concatenate(all_tp, 0)
+    conf = np.concatenate(all_conf, 0)
+    pcls = np.concatenate(all_pcls, 0)
+    tcls = np.concatenate(all_tcls, 0) if all_tcls else np.zeros(0)
+
+    res = average_precision(tp, conf, pcls, tcls, plot_dir=plot_dir, names=names)
+    return res["map"], res["map50"], res["recall"], res["precision"]

@@ -107,7 +107,9 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding: int = 0,
 def max_pool(x, k: int, stride: int = 1, padding: int | None = None):
     if padding is None:
         padding = k // 2
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so JAX recognizes the reduce_window as a
+    # max-pool and applies its reverse-mode gradient rule.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,

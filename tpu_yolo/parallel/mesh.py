@@ -1,0 +1,74 @@
+"""Device mesh + sharding layout for SPMD data parallelism.
+
+TPU-native replacement for the reference's process-per-GPU DDP stack
+(reference main.py:342-344 NCCL init, main.py:81-84 DDP wrap, main.sh:2
+torch.distributed.launch). There is no process wrapper and no explicit
+collective anywhere: one `jax.sharding.Mesh` spans every chip, the batch
+is sharded along the `data` axis, params/optimizer/EMA are replicated,
+and XLA compiles the gradient cross-chip `psum` onto ICI (intra-slice)
+or DCN (inter-slice) automatically when a jitted function reduces a
+sharded batch into replicated grads.
+
+SyncBatchNorm (reference main.py:81-84) falls out for free: batch-norm
+statistics inside the jitted train step are means over the *global*
+batch axis, so XLA inserts the same cross-chip reduction DDP's SyncBN
+performs explicitly.
+
+A second mesh axis ``model`` is plumbed through for tensor-style
+sharding of the widest head convolutions at very large scale; at the
+reference's model sizes it stays size 1 (pure DP) — matching the
+reference's single parallelism strategy (SURVEY.md §2) while leaving the
+mesh shape a config knob rather than a code change.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build an (data, model) mesh over all visible devices by default."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(use, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split across the data axis, rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+@dataclasses.dataclass
+class DataParallel:
+    """Sharding bundle for the train/eval steps.
+
+    `shard_batch` places host arrays so their leading axis is split over
+    the data axis (global batch must divide the data-axis size);
+    `replicate` places pytrees fully-replicated (params, optimizer state,
+    EMA). jit then compiles collectives as needed — the JAX answer to
+    DistributedSampler + DDP + SyncBN.
+    """
+
+    mesh: Mesh
+
+    @property
+    def num_data_shards(self) -> int:
+        return self.mesh.shape["data"]
+
+    def shard_batch(self, tree):
+        s = batch_sharding(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    def replicate(self, tree):
+        s = replicated_sharding(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,227 @@
+"""Host-side training orchestration: epochs, schedule, logging, ckpts.
+
+Counterpart of reference main.py:22-221 (train()). The per-step device
+work is one jitted SPMD program (train/step.py); this module does only
+what must stay on host: the data pipeline, LR lookup, CSV logging,
+per-epoch eval, checkpoint save/resume and the mosaic cutoff.
+
+Parity contract kept from the reference:
+  * accumulate = max(round(64 / global_batch), 1) (main.py:44);
+  * weight_decay *= global_batch * accumulate / 64 (main.py:45);
+  * LinearLR over micro-steps with >=100-step / 3-epoch warmup
+    (util.py:581-596);
+  * mosaic disabled when 10 epochs remain (main.py:109-110);
+  * per-epoch eval of the EMA params -> step.csv rows
+    {epoch, box, cls, dfl, Recall, Precision, mAP@50, mAP}
+    (main.py:98-103, 192-200);
+  * best/last checkpoints + strip at the end (main.py:207-221).
+"""
+from __future__ import annotations
+
+import csv
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_yolo.core.config import ModelConfig
+from tpu_yolo.data.dataset import DetectionDataset
+from tpu_yolo.data.loader import DataLoader, ShardSampler
+from tpu_yolo.eval.evaluator import evaluate
+from tpu_yolo.io import checkpoint as ckpt_io
+from tpu_yolo.models import yolov11
+from tpu_yolo.parallel import DataParallel
+from tpu_yolo.train import optim
+from tpu_yolo.train.loss import build_padded_targets
+from tpu_yolo.train.step import init_train_state, train_step
+
+_GT_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def _gt_bucket(n: int) -> int:
+    for b in _GT_BUCKETS:
+        if n <= b:
+            return b
+    return _GT_BUCKETS[-1]
+
+
+class AverageMeter:
+    """Running mean (reference util.py:630-640)."""
+
+    def __init__(self):
+        self.num = 0.0
+        self.sum = 0.0
+        self.avg = 0.0
+
+    def update(self, v, n):
+        v = float(v)
+        if not np.isnan(v):
+            self.num += n
+            self.sum += v * n
+            self.avg = self.sum / self.num
+
+
+def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
+    """Full training run. `args` needs: data_dir, input_size, batch_size
+    (global), epochs, save_dir, resume (path|None), weights (path|None),
+    val_batch_size, eval_every (int), max_gt."""
+    os.makedirs(args.save_dir, exist_ok=True)
+    import jax
+
+    # --- model + state ------------------------------------------------
+    params = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+    start_epoch, best = 0, 0.0
+
+    global_bs = args.batch_size
+    accumulate = max(round(64 / global_bs), 1)
+    wd = hyp["weight_decay"] * global_bs * accumulate / 64
+
+    state = None
+    if args.resume:
+        payload = ckpt_io.load_checkpoint(args.resume)
+        state = {k: payload[k] for k in
+                 ("params", "opt", "step", "ema_updates", "ema_params")}
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+        start_epoch = int(payload.get("epoch", 0))
+        best = float(payload.get("best", 0.0))
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+    elif args.weights:
+        from tpu_yolo.io.weights import load_checkpoint_params
+        params = load_checkpoint_params(args.weights, params)
+
+    if state is None:
+        state = init_train_state(params, ema=True, accumulate=accumulate)
+    if dp is not None:
+        state = dp.replicate(state)
+
+    # --- data ----------------------------------------------------------
+    with open(os.path.join(args.data_dir, "train2017.txt")) as f:
+        filenames = [
+            os.path.join(args.data_dir, "images", "train2017",
+                         os.path.basename(line.strip()))
+            for line in f if line.strip()]
+
+    dataset = DetectionDataset(
+        filenames, args.input_size, hyp, augment=True,
+        cache_path=os.path.join(args.data_dir, "train2017.cache.npy"))
+
+    n_hosts = jax.process_count()
+    sampler = None
+    if n_hosts > 1:
+        sampler = ShardSampler(len(dataset), n_hosts, jax.process_index())
+    loader = DataLoader(dataset, global_bs // n_hosts, shuffle=sampler is None,
+                        num_workers=args.workers, drop_last=True,
+                        sampler=sampler)
+
+    num_steps = len(loader)
+    schedule = optim.linear_lr(args.epochs, num_steps, hyp)
+    optim.plot_lr(schedule, os.path.join(args.save_dir, "lr.png"))
+
+    hyp_gains = jnp.asarray([hyp["box"], hyp["cls"], hyp["dfl"]], jnp.float32)
+    is_rank0 = jax.process_index() == 0
+
+    log_path = os.path.join(args.save_dir, "step.csv")
+    log = open(log_path, "w", newline="") if is_rank0 else None
+    logger = None
+    if log:
+        logger = csv.DictWriter(log, fieldnames=[
+            "epoch", "box", "cls", "dfl", "Recall", "Precision", "mAP@50", "mAP"])
+        logger.writeheader()
+
+    def put(batch):
+        return dp.shard_batch(batch) if dp is not None else batch
+
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            loader.set_epoch(epoch)
+            if args.epochs - epoch == 10:
+                dataset.mosaic = False  # reference main.py:109-110
+
+            meters = {k: AverageMeter() for k in ("box", "cls", "dfl")}
+            it = loader
+            if is_rank0:
+                import tqdm
+                it = tqdm.tqdm(loader, total=num_steps,
+                               desc=f"epoch {epoch + 1}/{args.epochs}")
+
+            for i, (images, targets) in enumerate(it):
+                step = i + num_steps * epoch
+                lr = float(schedule[min(step, len(schedule) - 1)])
+                apply_update = (step % accumulate) == 0
+
+                max_n = int(np.max(np.bincount(
+                    np.asarray(targets["idx"], np.int64),
+                    minlength=images.shape[0]))) if len(targets["idx"]) else 1
+                gt = build_padded_targets(
+                    targets, images.shape[0], _gt_bucket(max(max_n, 1)),
+                    (args.input_size, args.input_size))
+
+                state, metrics = train_step(
+                    state, put(images), put(gt), lr, hyp_gains, wd,
+                    hyp["momentum"], cfg=cfg, accumulate=accumulate,
+                    apply_update=apply_update)
+
+                bs = images.shape[0]
+                for k, v in (("box", metrics["loss_box"]),
+                             ("cls", metrics["loss_cls"]),
+                             ("dfl", metrics["loss_dfl"])):
+                    meters[k].update(float(v), bs)
+                if is_rank0 and hasattr(it, "set_postfix"):
+                    it.set_postfix(box=f"{meters['box'].avg:.3f}",
+                                   cls=f"{meters['cls'].avg:.3f}",
+                                   dfl=f"{meters['dfl'].avg:.3f}")
+
+            # --- per-epoch eval + checkpoint (rank 0; main.py:188-216) --
+            if is_rank0:
+                eval_params = yolov11.fold_batchnorm(
+                    jax.device_get(state["ema_params"]))
+                m_ap, m_ap50, recall, precision = _run_eval(
+                    args, hyp, cfg, eval_params)
+                if logger:
+                    logger.writerow({
+                        "epoch": str(epoch + 1).zfill(3),
+                        "box": f"{meters['box'].avg:.3f}",
+                        "cls": f"{meters['cls'].avg:.3f}",
+                        "dfl": f"{meters['dfl'].avg:.3f}",
+                        "mAP": f"{m_ap:.3f}", "mAP@50": f"{m_ap50:.3f}",
+                        "Recall": f"{recall:.3f}", "Precision": f"{precision:.3f}"})
+                    log.flush()
+
+                best = max(best, m_ap)
+                payload = {"epoch": epoch + 1, "best": best,
+                           "meta": {"size": args.model_size,
+                                    "num_classes": cfg.num_classes},
+                           **{k: jax.device_get(state[k]) for k in
+                              ("params", "opt", "step", "ema_updates",
+                               "ema_params")}}
+                ckpt_io.save_checkpoint(os.path.join(args.save_dir, "last.ckpt"), payload)
+                if best == m_ap:
+                    ckpt_io.save_checkpoint(os.path.join(args.save_dir, "best.ckpt"), payload)
+    finally:
+        if log:
+            log.close()
+
+    if is_rank0:
+        for name in ("best.ckpt", "last.ckpt"):
+            p = os.path.join(args.save_dir, name)
+            if os.path.exists(p):
+                ckpt_io.strip_checkpoint(p)  # reference main.py:219-221
+
+
+def _run_eval(args, hyp, cfg, folded_params):
+    """Build the val loader and run evaluate() (reference test(), main.py:224)."""
+    val_txt = os.path.join(args.data_dir, "val2017.txt")
+    if not os.path.exists(val_txt):
+        return 0.0, 0.0, 0.0, 0.0
+    with open(val_txt) as f:
+        filenames = [
+            os.path.join(args.data_dir, "images", "val2017",
+                         os.path.basename(line.strip()))
+            for line in f if line.strip()]
+    dataset = DetectionDataset(
+        filenames, args.input_size, hyp, augment=False,
+        cache_path=os.path.join(args.data_dir, "val2017.cache.npy"))
+    loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
+                        num_workers=args.workers)
+    return evaluate(folded_params, loader, cfg, args.input_size,
+                    progress=True)
