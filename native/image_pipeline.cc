@@ -1,0 +1,315 @@
+// Native host data-path for high-throughput serving: JPEG decode,
+// bilinear resize, letterbox into fixed-size batch buffers, with an
+// internal thread pool + bounded batch queue.
+//
+// This is the TPU build's counterpart of the reference's native image
+// stack (OpenCV resize/copyMakeBorder/cvtColor called from
+// utils/dataset.py:100,312,292-313, plus torch DataLoader worker
+// processes, main.py:72-73): the decode/resize/letterbox work runs in
+// C++ worker threads that release the GIL entirely (callers use ctypes),
+// and batches come out as contiguous NHWC uint8 RGB ready for one
+// device_put.
+//
+// Letterbox geometry contract (must match tpu_yolo/data/image.py
+// letterbox(), itself frozen against the reference's rounding):
+//   r = min(size/h, size/w), clamped to <=1 for eval;
+//   new = round(dim*r); pad split with the round(x -/+ 0.1) trick.
+//
+// C ABI (ctypes): see tpu_yolo/data/native_loader.py.
+
+#include <cstddef>
+#include <cstdio>
+// jpeglib.h needs size_t/FILE declared first.
+#include <jpeglib.h>
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <functional>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------
+// JPEG decode (libjpeg) -> RGB uint8.
+// ---------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+bool decode_jpeg_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
+                     int* out_w, int* out_h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, h = cinfo.output_height;
+  out->resize(static_cast<size_t>(w) * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_w = w;
+  *out_h = h;
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// Bilinear resize, RGB uint8, half-pixel centers (cv2.INTER_LINEAR
+// convention: src = (dst + 0.5) * scale - 0.5).
+// ---------------------------------------------------------------------
+
+void resize_bilinear_rgb(const uint8_t* src, int sw, int sh, uint8_t* dst,
+                         int dw, int dh) {
+  const float sx = static_cast<float>(sw) / dw;
+  const float sy = static_cast<float>(sh) / dh;
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> fxs(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    if (fx < 0) fx = 0;
+    int x0 = static_cast<int>(fx);
+    if (x0 > sw - 1) x0 = sw - 1;
+    int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+    x0s[x] = x0;
+    x1s[x] = x1;
+    fxs[x] = fx - x0;
+  }
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = static_cast<int>(fy);
+    if (y0 > sh - 1) y0 = sh - 1;
+    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    const float wy = fy - y0;
+    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int x0 = x0s[x] * 3, x1 = x1s[x] * 3;
+      const float wx = fxs[x];
+      for (int c = 0; c < 3; ++c) {
+        const float top = r0[x0 + c] + (r0[x1 + c] - r0[x0 + c]) * wx;
+        const float bot = r1[x0 + c] + (r1[x1 + c] - r1[x0 + c]) * wx;
+        const float v = top + (bot - top) * wy;
+        drow[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+// Letterbox geometry identical to tpu_yolo/data/image.py::letterbox.
+struct LetterboxGeom {
+  int new_w, new_h, top, left;
+  float ratio, pad_w, pad_h;
+};
+
+LetterboxGeom letterbox_geom(int w, int h, int size, bool allow_upscale) {
+  float r = static_cast<float>(size) / (h > w ? h : w);
+  float rw = static_cast<float>(size) / w;
+  float rh = static_cast<float>(size) / h;
+  r = rw < rh ? rw : rh;
+  if (!allow_upscale && r > 1.0f) r = 1.0f;
+  LetterboxGeom g;
+  g.ratio = r;
+  g.new_w = static_cast<int>(std::lroundf(w * r));
+  g.new_h = static_cast<int>(std::lroundf(h * r));
+  g.pad_w = (size - g.new_w) / 2.0f;
+  g.pad_h = (size - g.new_h) / 2.0f;
+  g.top = static_cast<int>(std::lroundf(g.pad_h - 0.1f));
+  g.left = static_cast<int>(std::lroundf(g.pad_w - 0.1f));
+  return g;
+}
+
+// Decode -> (optional pre-shrink to long side<=size happens implicitly
+// via direct resize to letterboxed dims) -> letterbox into out
+// (size*size*3, zero-padded borders). Returns geometry for box rescale.
+bool load_letterboxed(const uint8_t* bytes, size_t len, int size,
+                      bool allow_upscale, uint8_t* out, float* ratio,
+                      float* pad_w, float* pad_h, int* orig_w, int* orig_h) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg_rgb(bytes, len, &rgb, &w, &h)) return false;
+  LetterboxGeom g = letterbox_geom(w, h, size, allow_upscale);
+
+  std::vector<uint8_t> resized(static_cast<size_t>(g.new_w) * g.new_h * 3);
+  if (g.new_w == w && g.new_h == h) {
+    std::memcpy(resized.data(), rgb.data(), resized.size());
+  } else {
+    resize_bilinear_rgb(rgb.data(), w, h, resized.data(), g.new_w, g.new_h);
+  }
+
+  std::memset(out, 0, static_cast<size_t>(size) * size * 3);
+  for (int y = 0; y < g.new_h; ++y) {
+    std::memcpy(out + (static_cast<size_t>(y + g.top) * size + g.left) * 3,
+                resized.data() + static_cast<size_t>(y) * g.new_w * 3,
+                static_cast<size_t>(g.new_w) * 3);
+  }
+  *ratio = g.ratio;
+  *pad_w = g.pad_w;
+  *pad_h = g.pad_h;
+  *orig_w = w;
+  *orig_h = h;
+  return true;
+}
+
+// ---------------------------------------------------------------------
+// Thread pool + bounded batch queue.
+// ---------------------------------------------------------------------
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { Run(); });
+  }
+  ~ThreadPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void Submit(std::function<void()> fn) {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      tasks_.push_back(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void Run() {
+    for (;;) {
+      std::function<void()> fn;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return stop_ || !tasks_.empty(); });
+        if (stop_ && tasks_.empty()) return;
+        fn = std::move(tasks_.front());
+        tasks_.pop_front();
+      }
+      fn();
+    }
+  }
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::deque<std::function<void()>> tasks_;
+  std::vector<std::thread> workers_;
+  bool stop_;
+};
+
+struct Pipeline {
+  explicit Pipeline(int threads, int size, bool allow_upscale)
+      : pool(threads), size(size), allow_upscale(allow_upscale) {}
+  ThreadPool pool;
+  int size;
+  bool allow_upscale;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Opaque pipeline handle.
+void* ip_create(int threads, int size, int allow_upscale) {
+  return new Pipeline(threads, size, allow_upscale != 0);
+}
+
+void ip_destroy(void* p) { delete static_cast<Pipeline*>(p); }
+
+// Decode+letterbox one in-memory JPEG synchronously into `out`
+// (size*size*3 bytes). meta = [ratio, pad_w, pad_h, orig_w, orig_h].
+int ip_load_one(void* p, const uint8_t* bytes, int64_t len, uint8_t* out,
+                float* meta) {
+  Pipeline* pl = static_cast<Pipeline*>(p);
+  float r, pw, ph;
+  int ow, oh;
+  if (!load_letterboxed(bytes, static_cast<size_t>(len), pl->size,
+                        pl->allow_upscale, out, &r, &pw, &ph, &ow, &oh))
+    return -1;
+  meta[0] = r;
+  meta[1] = pw;
+  meta[2] = ph;
+  meta[3] = static_cast<float>(ow);
+  meta[4] = static_cast<float>(oh);
+  return 0;
+}
+
+// Decode+letterbox a batch of n files in parallel into `out`
+// (n*size*size*3) and metas (n*5). paths is an array of n C strings.
+// Returns number of failures (failed slots are zeroed, meta[0]=-1).
+int ip_load_batch(void* p, const char** paths, int n, uint8_t* out,
+                  float* metas) {
+  Pipeline* pl = static_cast<Pipeline*>(p);
+  const size_t stride = static_cast<size_t>(pl->size) * pl->size * 3;
+  std::atomic<int> failures{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+
+  for (int i = 0; i < n; ++i) {
+    pl->pool.Submit([&, i] {
+      FILE* f = fopen(paths[i], "rb");
+      bool ok = false;
+      if (f) {
+        fseek(f, 0, SEEK_END);
+        long sz = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        std::vector<uint8_t> buf(sz);
+        if (fread(buf.data(), 1, sz, f) == static_cast<size_t>(sz)) {
+          float r, pw, ph;
+          int ow, oh;
+          ok = load_letterboxed(buf.data(), sz, pl->size, pl->allow_upscale,
+                                out + stride * i, &r, &pw, &ph, &ow, &oh);
+          if (ok) {
+            metas[i * 5 + 0] = r;
+            metas[i * 5 + 1] = pw;
+            metas[i * 5 + 2] = ph;
+            metas[i * 5 + 3] = static_cast<float>(ow);
+            metas[i * 5 + 4] = static_cast<float>(oh);
+          }
+        }
+        fclose(f);
+      }
+      if (!ok) {
+        std::memset(out + stride * i, 0, stride);
+        metas[i * 5] = -1.0f;
+        failures.fetch_add(1);
+      }
+      if (done.fetch_add(1) + 1 == n) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failures.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,96 @@
+"""End-to-end integration: CLI-level train + test on a synthetic
+mini-COCO under /tmp (the reference validates operationally, SURVEY.md
+§4; this is the same check made hermetic and automatic)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mini_coco(tmp_path_factory):
+    """4 train + 4 val synthetic images with one box each, COCO layout."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("mini_coco")
+    rng = np.random.default_rng(0)
+    for split in ("train2017", "val2017"):
+        img_dir = root / "images" / split
+        lbl_dir = root / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        names = []
+        for i in range(4):
+            img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+            # draw a bright box so there is actual signal
+            img[30:70, 40:100] = (255, 40, 40)
+            name = f"{split}_{i}.jpg"
+            cv2.imwrite(str(img_dir / name), img)
+            cls = i % 2
+            (lbl_dir / f"{split}_{i}.txt").write_text(
+                f"{cls} {70/160:.4f} {50/120:.4f} {60/160:.4f} {40/120:.4f}\n")
+            names.append(str(img_dir / name))
+        (root / f"{split}.txt").write_text("\n".join(names) + "\n")
+    return root
+
+
+def _hyp_tiny(tmp_path):
+    import yaml
+
+    from tpu_yolo.core.config import load_hyperparams
+    hyp = load_hyperparams()
+    hyp["names"] = {0: "red", 1: "blue"}
+    hyp["mosaic"] = 1.0
+    p = tmp_path / "hyp.yaml"
+    p.write_text(yaml.safe_dump(hyp))
+    return str(p)
+
+
+@pytest.mark.slow
+def test_cli_train_then_test(mini_coco, tmp_path):
+    """`main.py --train` one epoch then `--test` on the checkpoint, all on
+    the virtual CPU mesh. Asserts the CSV contract and checkpoint files
+    (reference step.csv/last.pt contract, main.py:98-103, 207-216)."""
+    save_dir = tmp_path / "weights"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    hyp = _hyp_tiny(tmp_path)
+    cmd = [
+        sys.executable, "main.py", "--train",
+        "--model-size", "n", "--input-size", "128",
+        "--batch-size", "4", "--val-batch-size", "4", "--epochs", "1",
+        "--data-dir", str(mini_coco), "--save-dir", str(save_dir),
+        "--hyp", hyp, "--workers", "2",
+    ]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                       env=env, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    csv_path = save_dir / "step.csv"
+    assert csv_path.exists()
+    header = csv_path.read_text().splitlines()[0]
+    assert header == "epoch,box,cls,dfl,Recall,Precision,mAP@50,mAP"
+    assert (save_dir / "last.ckpt").exists()
+    assert (save_dir / "best.ckpt").exists()
+    assert (save_dir / "lr.png").exists()
+
+    # strip_checkpoint produced an inference-only fp16 artifact
+    from tpu_yolo.io.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(str(save_dir / "best.ckpt"))
+    assert "opt" not in ckpt and "params" in ckpt
+
+    cmd = [
+        sys.executable, "main.py", "--test",
+        "--model-size", "n", "--input-size", "128", "--val-batch-size", "4",
+        "--data-dir", str(mini_coco), "--save-dir", str(save_dir),
+        "--weights", str(save_dir / "best.ckpt"), "--hyp", hyp, "--workers", "2",
+    ]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                       env=env, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "mAP:" in r.stdout

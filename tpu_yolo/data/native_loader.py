@@ -1,0 +1,104 @@
+"""ctypes binding for the native C++ serving data-path
+(native/image_pipeline.cc): JPEG decode + bilinear resize + letterbox
+in a GIL-free thread pool, batches emitted as contiguous NHWC uint8 RGB.
+
+This replaces the reference's native image stack — OpenCV C++ calls from
+Python workers (utils/dataset.py:100,292-313) under torch DataLoader
+processes (main.py:72-73) — for the high-throughput inference path. The
+Python/OpenCV pipeline in data/image.py stays the parity oracle for
+training/eval; the letterbox geometry here is byte-compatible with it
+(same ratio clamp and round(x -/+ 0.1) padding split).
+
+Build: `make -C native` (g++, links -ljpeg). If the .so is absent,
+`available()` is False and callers fall back to the Python loader.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_SO_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "libtpuyolo_data.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        try:  # build on first use; toolchain is expected in the image
+            subprocess.run(["make", "-C", os.path.dirname(_SO_PATH)],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.ip_create.restype = ctypes.c_void_p
+    lib.ip_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.ip_destroy.argtypes = [ctypes.c_void_p]
+    lib.ip_load_one.restype = ctypes.c_int
+    lib.ip_load_one.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float)]
+    lib.ip_load_batch.restype = ctypes.c_int
+    lib.ip_load_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativePipeline:
+    """Decode/letterbox pipeline handle over the C++ thread pool."""
+
+    def __init__(self, input_size: int, threads: int = 8,
+                 allow_upscale: bool = False):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable; run `make -C native`")
+        self._lib = lib
+        self.input_size = input_size
+        self._h = lib.ip_create(threads, input_size, int(allow_upscale))
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.ip_destroy(h)
+            self._h = None
+
+    def load_one(self, jpeg_bytes: bytes):
+        """Decode one JPEG -> (letterboxed (S,S,3) uint8 RGB, meta dict)."""
+        s = self.input_size
+        out = np.empty((s, s, 3), np.uint8)
+        meta = np.empty(5, np.float32)
+        rc = self._lib.ip_load_one(
+            self._h, jpeg_bytes, len(jpeg_bytes),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise ValueError("JPEG decode failed")
+        return out, {"ratio": float(meta[0]), "pad_w": float(meta[1]),
+                     "pad_h": float(meta[2]), "orig_w": int(meta[3]),
+                     "orig_h": int(meta[4])}
+
+    def load_batch(self, paths: list[str]):
+        """Parallel decode+letterbox -> ((N,S,S,3) uint8, (N,5) meta,
+        n_failures). Failed slots are zeroed with meta[i,0] == -1."""
+        s = self.input_size
+        n = len(paths)
+        out = np.empty((n, s, s, 3), np.uint8)
+        metas = np.empty((n, 5), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        nfail = self._lib.ip_load_batch(
+            self._h, arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            metas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out, metas, int(nfail)
