@@ -1,137 +1,8 @@
 #!/usr/bin/env python
-"""tpu-yolo CLI: train / test / profile / export / benchmark.
-
-Counterpart of reference main.py:324-367 (main()), with the same flag
-surface (--train/--test/--weights/--resume/--input-size/--batch-size/
---epochs) plus the TPU-relevant knobs. There is no launcher script and
-no per-GPU process spawn (reference main.sh:1-2 + NCCL env rendezvous,
-main.py:338-344): one SPMD process per host drives every local chip via
-a jax.sharding.Mesh, and multi-host runs call jax.distributed.initialize.
-"""
-from __future__ import annotations
-
-import argparse
-import os
-import random
-
-import numpy as np
-
-
-def parse_args():
-    p = argparse.ArgumentParser("tpu-yolo")
-    p.add_argument("--model-size", default="n", choices=list("ntsmlx"))
-    p.add_argument("--input-size", default=640, type=int)
-    p.add_argument("--batch-size", default=32, type=int,
-                   help="global batch across all chips")
-    p.add_argument("--val-batch-size", default=32, type=int)
-    p.add_argument("--epochs", default=600, type=int)
-    p.add_argument("--train", action="store_true")
-    p.add_argument("--test", action="store_true")
-    p.add_argument("--export", action="store_true", help="export StableHLO")
-    p.add_argument("--weights", default="", help=".pt/.npz/.ckpt to load")
-    p.add_argument("--resume", default="", help="checkpoint to resume from")
-    p.add_argument("--data-dir", default="./COCO")
-    p.add_argument("--save-dir", default="./weights")
-    p.add_argument("--hyp", default="", help="hyperparameter yaml override")
-    p.add_argument("--workers", default=8, type=int)
-    p.add_argument("--seed", default=0, type=int)
-    p.add_argument("--plot", action="store_true", help="save eval curves")
-    p.add_argument("--distributed", action="store_true",
-                   help="multi-host: call jax.distributed.initialize()")
-    return p.parse_args()
-
-
-def setup_seed(seed: int):
-    """Deterministic host-side RNG (reference util.py:12-20); device-side
-    determinism is JAX-native (explicit PRNG keys)."""
-    random.seed(seed)
-    np.random.seed(seed)
-
-
-def load_model_params(args, cfg, for_inference: bool):
-    import jax
-
-    from tpu_yolo.io import checkpoint as ckpt_io
-    from tpu_yolo.io.weights import load_checkpoint_params
-    from tpu_yolo.models import yolov11
-
-    template = yolov11.init_params(jax.random.PRNGKey(args.seed), cfg)
-    path = args.weights or os.path.join(args.save_dir, "best.ckpt")
-    if path.endswith(".ckpt"):
-        payload = ckpt_io.load_checkpoint(path)
-        params = payload.get("ema_params") or payload["params"]
-        params = jax.tree_util.tree_map(
-            lambda x: np.asarray(x, np.float32), params)
-    else:
-        params = load_checkpoint_params(path, template)
-    if for_inference:
-        params = yolov11.fold_batchnorm(params)
-    return params
-
-
-def main():
-    args = parse_args()
-    setup_seed(args.seed)
-
-    if args.distributed:
-        import jax
-        jax.distributed.initialize()
-
-    from tpu_yolo.core.config import get_model_config, load_hyperparams
-
-    hyp = load_hyperparams(args.hyp or None)
-    cfg = get_model_config(args.model_size, num_classes=len(hyp["names"]))
-
-    if args.train:
-        import jax
-
-        from tpu_yolo.parallel import DataParallel, make_mesh
-        from tpu_yolo.train.trainer import train
-
-        # Startup profile banner (reference main.py:356).
-        from tpu_yolo.models import yolov11
-        from tpu_yolo.utils.profiler import print_profile
-        params = yolov11.init_params(jax.random.PRNGKey(args.seed), cfg)
-        print_profile(yolov11.fold_batchnorm(params), cfg, args.input_size)
-        del params
-
-        dp = DataParallel(make_mesh())
-        train(args, hyp, cfg, dp)
-
-    if args.test:
-        from tpu_yolo.core.config import COCO_NAMES
-        from tpu_yolo.data.dataset import DetectionDataset
-        from tpu_yolo.data.loader import DataLoader
-        from tpu_yolo.eval.evaluator import evaluate
-
-        params = load_model_params(args, cfg, for_inference=True)
-        with open(os.path.join(args.data_dir, "val2017.txt")) as f:
-            filenames = [
-                os.path.join(args.data_dir, "images", "val2017",
-                             os.path.basename(line.strip()))
-                for line in f if line.strip()]
-        dataset = DetectionDataset(
-            filenames, args.input_size, hyp, augment=False,
-            cache_path=os.path.join(args.data_dir, "val2017.cache.npy"))
-        loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
-                            num_workers=args.workers)
-        m_ap, m_ap50, recall, precision = evaluate(
-            params, loader, cfg, args.input_size,
-            plot_dir=args.save_dir if args.plot else None,
-            names=[v for _, v in sorted(hyp["names"].items())],
-            progress=True)
-        print(f"mAP: {m_ap:.3f}  mAP@50: {m_ap50:.3f}  "
-              f"Recall: {recall:.3f}  Precision: {precision:.3f}")
-
-    if args.export:
-        from tpu_yolo.utils.export import export_stablehlo
-
-        params = load_model_params(args, cfg, for_inference=True)
-        manifest = export_stablehlo(
-            params, cfg, args.input_size,
-            os.path.join(args.save_dir, f"export_{args.model_size}"))
-        print(f"exported: {manifest}")
-
+"""Repo-root shim so `python main.py --train/--test/...` works exactly
+like the reference's entry point (reference main.py:324-367); the real
+CLI lives in tpu_yolo/cli/main.py."""
+from tpu_yolo.cli.main import main
 
 if __name__ == "__main__":
     main()

@@ -28,39 +28,51 @@ from tpu_yolo.ops.nn import Context, conv_bn, identity, sub, upsample2x
 
 # ---------------------------------------------------------------------------
 # Initialization (torch-default kaiming-uniform so training matches the
-# reference's statistical starting point).
+# reference's statistical starting point). Host-side numpy throughout:
+# per-layer jax.random calls would each dispatch a tiny device program
+# (~hundreds of round-trips — minutes over a remote-TPU tunnel); one
+# device_put of the finished tree is the TPU-friendly pattern.
 # ---------------------------------------------------------------------------
 
 
-def _init_conv(key, in_ch, out_ch, k=1, groups=1, bias=False):
+def _init_conv(rng: np.random.Generator, in_ch, out_ch, k=1, groups=1, bias=False):
     fan_in = (in_ch // groups) * k * k
     bound = 1.0 / math.sqrt(fan_in)
-    wkey, bkey = jax.random.split(key)
-    p = {"w": jax.random.uniform(wkey, (k, k, in_ch // groups, out_ch),
-                                 jnp.float32, -bound, bound)}
+    p = {"w": rng.uniform(-bound, bound,
+                          (k, k, in_ch // groups, out_ch)).astype(np.float32)}
     if bias:
-        p["b"] = jax.random.uniform(bkey, (out_ch,), jnp.float32, -bound, bound)
+        p["b"] = rng.uniform(-bound, bound, out_ch).astype(np.float32)
     return p
 
 
-def _init_conv_bn(key, in_ch, out_ch, k=1, groups=1):
-    p = _init_conv(key, in_ch, out_ch, k, groups)
+def _init_conv_bn(rng, in_ch, out_ch, k=1, groups=1):
+    p = _init_conv(rng, in_ch, out_ch, k, groups)
     p.update(
-        gamma=jnp.ones(out_ch, jnp.float32),
-        beta=jnp.zeros(out_ch, jnp.float32),
-        mean=jnp.zeros(out_ch, jnp.float32),
-        var=jnp.ones(out_ch, jnp.float32),
+        gamma=np.ones(out_ch, np.float32),
+        beta=np.zeros(out_ch, np.float32),
+        mean=np.zeros(out_ch, np.float32),
+        var=np.ones(out_ch, np.float32),
     )
     return p
 
 
 class _KeyGen:
+    """Yields the shared numpy Generator (kept for call-site symmetry)."""
+
     def __init__(self, key):
-        self.key = key
+        # Accepts a jax PRNG key (old or new style) or a plain int seed.
+        if isinstance(key, (int, np.integer)):
+            seed = int(key)
+        else:
+            try:
+                data = jax.random.key_data(key)
+            except Exception:
+                data = key
+            seed = int(np.asarray(data).ravel()[-1])
+        self.rng = np.random.default_rng(seed)
 
     def __call__(self):
-        self.key, k = jax.random.split(self.key)
-        return k
+        return self.rng
 
 
 def _init_residual(kg, ch, e=0.5):
@@ -167,8 +179,9 @@ def init_params(key, cfg: ModelConfig):
         ])
         # Prior-aware bias init (reference Head.initialize_biases, nn.py:272-279).
         s = cfg.strides[i]
-        head["box"][i][2]["b"] = jnp.ones(4 * reg, jnp.float32)
-        head["cls"][i][4]["b"] = jnp.full(nc, math.log(5 / nc / (640 / s) ** 2), jnp.float32)
+        head["box"][i][2]["b"] = np.ones(4 * reg, np.float32)
+        head["cls"][i][4]["b"] = np.full(nc, math.log(5 / nc / (640 / s) ** 2),
+                                         np.float32)
 
     return {"net": net, "fpn": fpn, "head": head}
 

@@ -71,11 +71,21 @@ def attention(p, x, ctx: Context, path: str, num_head: int):
     qkv = qkv.reshape(b, t, num_head, 2 * dk + dh)
     q, k, v = jnp.split(qkv, (dk, 2 * dk), axis=-1)
 
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                      preferred_element_type=jnp.float32) * (dk ** -0.5)
-    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    from tpu_yolo.ops.attention_pallas import fused_attention, use_pallas_attention
+
+    if not ctx.train and use_pallas_attention():
+        # Fused Pallas path: scores never touch HBM (inference only; the
+        # training path needs XLA's autodiff through the einsums).
+        to_heads = lambda a, d: a.transpose(0, 2, 1, 3).reshape(b * num_head, t, d)
+        out = fused_attention(to_heads(q, dk), to_heads(k, dk),
+                              to_heads(v, dh), dk ** -0.5)
+        out = out.reshape(b, num_head, t, dh).transpose(0, 2, 1, 3)
+    else:
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * (dk ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(b, h, w, c)
 
     v_img = v.reshape(b, h, w, c)
