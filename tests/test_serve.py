@@ -1,0 +1,75 @@
+"""Serving pipeline: streaming batches, coordinate rescale, failure slots."""
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_yolo.core.config import ModelConfig
+from tpu_yolo.models import yolov11
+from tpu_yolo.serve import Detector
+
+TINY = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                   csp=(False, True), num_classes=8)
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("serve_jpegs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (h, w) in enumerate([(480, 640), (320, 240), (640, 640)]):
+        img = cv2.GaussianBlur(
+            rng.integers(0, 255, (h, w, 3), np.uint8), (5, 5), 2)
+        p = str(root / f"im{i}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    return paths
+
+
+def _tiny_detector(**kw):
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), TINY))
+    return Detector(params, TINY, input_size=128, conf_thres=1e-6, **kw)
+
+
+def test_stream_results_shape_and_rescale(jpeg_dir):
+    det = _tiny_detector()
+    results = list(det.stream(jpeg_dir, batch_size=2, rescale=True))
+    assert [r["path"] for r in results] == jpeg_dir
+    sizes = [(640, 480), (240, 320), (640, 640)]  # (w, h)
+    for r, (w, h) in zip(results, sizes):
+        assert r["boxes"].shape[1] == 4
+        assert len(r["scores"]) == len(r["boxes"]) == len(r["classes"])
+        if len(r["boxes"]):
+            # rescaled boxes live in original-image pixel space
+            assert r["boxes"][:, [0, 2]].max() <= w + 1e-3
+            assert r["boxes"][:, [1, 3]].max() <= h + 1e-3
+            assert r["boxes"].min() >= -1e-3
+
+
+def test_stream_decode_failure_slot(jpeg_dir, tmp_path):
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg at all")
+    det = _tiny_detector()
+    results = list(det.stream([jpeg_dir[0], bad], batch_size=2))
+    assert "error" not in results[0]
+    assert results[1].get("error") == "decode"
+    assert len(results[1]["boxes"]) == 0
+
+
+def test_letterbox_vs_rescale_consistency(jpeg_dir):
+    """rescale=False boxes transform to rescale=True boxes by the meta."""
+    det = _tiny_detector()
+    lb = list(det.stream(jpeg_dir[:1], batch_size=1, rescale=False))[0]
+    orig = list(det.stream(jpeg_dir[:1], batch_size=1, rescale=True))[0]
+    assert len(lb["boxes"]) == len(orig["boxes"])
+    if len(lb["boxes"]):
+        # un-letterboxing is (xy - pad)/ratio then clip to the original
+        s = 128 / 640  # eval never upscales: ratio = 128/640 for this image
+        manual = (lb["boxes"] - np.array([0, 16, 0, 16], np.float32)) / s
+        manual[:, [0, 2]] = manual[:, [0, 2]].clip(0, 640)
+        manual[:, [1, 3]] = manual[:, [1, 3]].clip(0, 480)
+        np.testing.assert_allclose(orig["boxes"], manual, rtol=1e-5, atol=1e-3)

@@ -1,0 +1,159 @@
+"""Production serving pipeline: JPEG bytes/paths -> detections.
+
+The deployment-facing API the reference lacks (its only inference
+surface is the COCO eval loop, main.py:224-304). Design:
+
+  host:   native C++ pipeline (decode + letterbox + batch assembly in a
+          GIL-free thread pool, data/native_loader.py) — falls back to
+          the Python/OpenCV loader when the .so isn't built;
+  device: ONE jitted program: normalize(uint8) -> forward -> DFL decode
+          -> batched NMS (ops/nms.py);
+  overlap: double buffering — while the device runs batch i, the host
+          decodes batch i+1 and its H2D copy is in flight (JAX dispatch
+          is async; we only block on the *previous* result).
+
+Boxes are returned in original-image pixel coordinates by inverting the
+letterbox transform ((xy - pad) / ratio), clipped to the image — eval
+keeps letterboxed coords for mAP parity (SURVEY.md §2 fidelity notes);
+serving users want image space.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_yolo.core.config import ModelConfig, get_model_config
+from tpu_yolo.models import yolov11
+from tpu_yolo.ops.nms import batched_nms
+
+
+class Detector:
+    """Batched streaming detector.
+
+    >>> det = Detector.from_checkpoint("yolo11n.pt", size="n")
+    >>> for res in det.stream(paths, batch_size=64):
+    ...     res["boxes"], res["scores"], res["classes"]  # per image
+    """
+
+    def __init__(self, params, cfg: ModelConfig, input_size: int = 640,
+                 conf_thres: float = 0.25, iou_thres: float = 0.65,
+                 max_det: int = 300, compute_dtype=jnp.bfloat16,
+                 decode_threads: int = 8):
+        self.cfg = cfg
+        self.input_size = input_size
+        self.params = params
+        self._step = functools.partial(
+            _predict, cfg=cfg, compute_dtype=compute_dtype,
+            conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det)
+        self._pipe = None
+        self._decode_threads = decode_threads
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, size: str = "n", num_classes: int = 80,
+                        **kw):
+        """Load Ultralytics .pt / reference / own .ckpt weights, fold BN."""
+        cfg = get_model_config(size, num_classes)
+        template = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+        if path.endswith(".ckpt"):
+            from tpu_yolo.io.checkpoint import load_checkpoint
+            payload = load_checkpoint(path)
+            params = payload.get("ema_params") or payload["params"]
+            params = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float32), params)
+        else:
+            from tpu_yolo.io.weights import load_checkpoint_params
+            params = load_checkpoint_params(path, template)
+        return cls(yolov11.fold_batchnorm(params), cfg, **kw)
+
+    # -- host decode ------------------------------------------------------
+    def _decode_batch(self, paths: list[str]):
+        from tpu_yolo.data import native_loader
+
+        if native_loader.available():
+            if self._pipe is None:
+                self._pipe = native_loader.NativePipeline(
+                    self.input_size, threads=self._decode_threads)
+            return self._pipe.load_batch(paths)
+
+        # Python/OpenCV fallback
+        from tpu_yolo.data.image import letterbox, load_image
+
+        n = len(paths)
+        out = np.zeros((n, self.input_size, self.input_size, 3), np.uint8)
+        metas = np.full((n, 5), -1, np.float32)
+        fails = 0
+        for i, p in enumerate(paths):
+            try:
+                img, (h, w) = load_image(p, self.input_size)
+                boxed, ratio, pad = letterbox(img, self.input_size)
+                out[i] = boxed[:, :, ::-1]
+                # load_image pre-scales (long side -> input_size); fold
+                # that and the letterbox ratio into one original->net scale.
+                metas[i] = (ratio[0] * img.shape[1] / w,
+                            pad[0], pad[1], w, h)
+            except Exception:
+                fails += 1
+        return out, metas, fails
+
+    # -- inference --------------------------------------------------------
+    def detect_batch(self, images_u8: np.ndarray):
+        """(B, S, S, 3) uint8 RGB -> device result dict (letterbox coords)."""
+        return self._step(self.params, jnp.asarray(images_u8))
+
+    def stream(self, paths: Iterable[str], batch_size: int = 64,
+               rescale: bool = True) -> Iterator[dict]:
+        """Double-buffered streaming over image paths; yields one dict per
+        image: {path, boxes (N,4) xyxy original pixels, scores, classes}."""
+        paths = list(paths)
+        batches = [paths[i:i + batch_size]
+                   for i in range(0, len(paths), batch_size)]
+        pending = None  # (device result, metas, batch paths)
+
+        for chunk in batches:
+            pad = batch_size - len(chunk)
+            imgs, metas, _ = self._decode_batch(chunk)
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad, *imgs.shape[1:]), np.uint8)])
+            res = self.detect_batch(imgs)  # async dispatch; don't block
+            if pending is not None:
+                yield from self._emit(*pending, rescale)
+            pending = (res, metas, chunk)
+        if pending is not None:
+            yield from self._emit(*pending, rescale)
+
+    def _emit(self, res, metas, chunk, rescale):
+        res = jax.device_get(res)
+        for i, path in enumerate(chunk):
+            n = int(res["count"][i])
+            boxes = np.array(res["boxes"][i][:n], np.float32)  # writable copy
+            if metas[i, 0] < 0:  # decode failure
+                yield {"path": path, "boxes": np.zeros((0, 4), np.float32),
+                       "scores": np.zeros(0, np.float32),
+                       "classes": np.zeros(0, np.int32), "error": "decode"}
+                continue
+            if rescale and n:
+                r, pw, ph, ow, oh = metas[i]
+                boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pw) / r
+                boxes[:, [1, 3]] = (boxes[:, [1, 3]] - ph) / r
+                boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, ow)
+                boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, oh)
+            yield {"path": path, "boxes": boxes,
+                   "scores": np.asarray(res["scores"][i][:n]),
+                   "classes": np.asarray(res["classes"][i][:n], np.int32)}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
+                                             "conf_thres", "iou_thres",
+                                             "max_det"))
+def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
+             max_det):
+    x = images.astype(compute_dtype) / compute_dtype(255)
+    preds = yolov11.forward(params, x, cfg, train=False)
+    return batched_nms(preds, conf_thres=conf_thres, iou_thres=iou_thres,
+                       max_det=max_det)
