@@ -35,7 +35,7 @@ def build_step(cfg, params, batch):
     return step
 
 
-def run(batch: int = 64, size: int = 640, iters: int = 30, warmup: int = 5):
+def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
@@ -79,7 +79,7 @@ def main():
     throughput, p50_ms, platform = run()
     baseline = 2000.0  # img/s/chip north-star (BASELINE.json)
     print(json.dumps({
-        "metric": "e2e_throughput_yolov11n_640_bs64_norm+fwd+nms",
+        "metric": "e2e_throughput_yolov11n_640_bs128_norm+fwd+nms",
         "value": round(throughput, 1),
         "unit": "img/s",
         "vs_baseline": round(throughput / baseline, 3),
