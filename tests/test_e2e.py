@@ -94,3 +94,38 @@ def test_cli_train_then_test(mini_coco, tmp_path):
                        env=env, capture_output=True, text=True, timeout=3000)
     assert r.returncode == 0, r.stderr[-4000:]
     assert "mAP:" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_resume(mini_coco, tmp_path):
+    """Train 1 epoch, then resume to epoch 2 from last.ckpt (reference
+    --resume contract, main.py:29-35,51-55)."""
+    save_dir = tmp_path / "weights"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    hyp = _hyp_tiny(tmp_path)
+    base = [
+        sys.executable, "main.py", "--train",
+        "--model-size", "n", "--input-size", "128",
+        "--batch-size", "4", "--val-batch-size", "4",
+        "--data-dir", str(mini_coco), "--save-dir", str(save_dir),
+        "--hyp", hyp, "--workers", "2",
+    ]
+    repo = os.path.dirname(os.path.dirname(__file__))
+    r = subprocess.run(base + ["--epochs", "1"], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-4000:]
+    # strip_checkpoint ran at end-of-training; resume needs the full
+    # state, so re-train writes it — resume from last BEFORE strip is the
+    # normal mid-run crash story; emulate by restoring optimizer presence
+    from tpu_yolo.io.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(str(save_dir / "last.ckpt"))
+    assert "params" in ckpt
+
+    r = subprocess.run(
+        base + ["--epochs", "2", "--resume", str(save_dir / "last.ckpt")],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "resumed" in r.stdout.lower()
+    rows = (save_dir / "step.csv").read_text().strip().splitlines()
+    assert rows[-1].startswith("002")  # continued at epoch 2

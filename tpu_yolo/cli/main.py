@@ -36,6 +36,8 @@ def parse_args():
     p.add_argument("--workers", default=8, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--plot", action="store_true", help="save eval curves")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also log scalars to save-dir/tb (CSV always written)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     return p.parse_args()

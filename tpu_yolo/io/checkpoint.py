@@ -13,6 +13,7 @@ strip_optimizer, utils/util.py:332-337).
 """
 from __future__ import annotations
 
+import os
 import pickle
 
 import jax
@@ -31,6 +32,29 @@ def save_checkpoint(path: str, payload: dict):
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): directory-based, async-capable, the JAX-
+# ecosystem standard for sharded/multi-host checkpoints. The pickle
+# format above stays the default because it is a single file loadable
+# with zero framework deps; use orbax for very large models or when
+# saving from a multi-host mesh (it handles per-shard IO).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str, payload: dict):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), _to_numpy(payload), force=True)
+
+
+def load_checkpoint_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
 
 
 def strip_checkpoint(path: str):

@@ -191,11 +191,27 @@ def init_params(key, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 
+def _space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel layout (di, dj, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 def _backbone(p, x, ctx, cfg: ModelConfig):
     csp0, csp1 = cfg.csp
     c = lambda pp, xx, path, **kw: conv_bn(pp, xx, ctx, path, **kw)
 
-    x = c(p["p1"][0], x, "net/p1/0", stride=2, padding=1)
+    stem_w = p["p1"][0]["w"]
+    if stem_w.shape[0] == 2 and stem_w.shape[2] == 4 * cfg.width[0]:
+        # space-to-depth stem (fold_stem_space_to_depth): mathematically
+        # identical to the 3x3/s2 conv, but the conv runs stride-1 on a
+        # (H/2, W/2, 4C) layout that tiles far better on the MXU at the
+        # network's 3-channel input.
+        x = c(p["p1"][0], _space_to_depth2(x), "net/p1/0",
+              padding=((1, 0), (1, 0)))
+    else:
+        x = c(p["p1"][0], x, "net/p1/0", stride=2, padding=1)
 
     x = c(p["p2"][0], x, "net/p2/0", stride=2, padding=1)
     x = blocks.csp(p["p2"][1], x, ctx, "net/p2/1", csp0)
@@ -281,6 +297,40 @@ def forward(params, x, cfg: ModelConfig, train: bool = False, ctx: Context | Non
 # BN folding (offline param transform; replaces reference YOLO.fuse,
 # nets/nn.py:299-305, which mutates modules at runtime).
 # ---------------------------------------------------------------------------
+
+
+def fold_stem_space_to_depth(params):
+    """Rewrite the stem's 3x3/s2 conv as an exactly-equivalent 2x2/s1
+    conv over a space-to-depth(2) input (inference-graph transform; see
+    _backbone). Output position (i, j) of the original conv reads input
+    pixels 2i-1..2i+1; in s2d coordinates those live in cells i-1..i at
+    offsets di in {0, 1}, giving W2[a, b, (di, dj, c)] = W3[2a+di-1,
+    2b+dj-1, c] (zero where the index falls outside the 3x3 kernel) with
+    top/left padding 1. Apply after fold_batchnorm / weight load."""
+    w3 = np.asarray(params["net"]["p1"][0]["w"])  # (3, 3, C, O)
+    if w3.shape[0] != 3:
+        return params  # already transformed or non-standard stem
+    cin, cout = w3.shape[2], w3.shape[3]
+    w2 = np.zeros((2, 2, 4 * cin, cout), w3.dtype)
+    for a in range(2):
+        for b in range(2):
+            for di in range(2):
+                for dj in range(2):
+                    ki, kj = 2 * a + di - 1, 2 * b + dj - 1
+                    if 0 <= ki < 3 and 0 <= kj < 3:
+                        ch = (di * 2 + dj) * cin
+                        w2[a, b, ch:ch + cin] = w3[ki, kj]
+    out = _copy_params(params)
+    out["net"]["p1"][0]["w"] = jnp.asarray(w2)
+    return out
+
+
+def _copy_params(tree):
+    if isinstance(tree, dict):
+        return {k: _copy_params(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_copy_params(v) for v in tree]
+    return tree
 
 
 def fold_batchnorm(params):

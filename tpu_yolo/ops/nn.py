@@ -58,19 +58,22 @@ def sub(path: str, *parts) -> str:
     return "/".join([path, *map(str, parts)]) if path else "/".join(map(str, parts))
 
 
-def conv2d(x, w, stride: int = 1, padding: int = 0, groups: int = 1):
-    """NHWC x HWIO convolution."""
+def conv2d(x, w, stride: int = 1, padding=0, groups: int = 1):
+    """NHWC x HWIO convolution. `padding` is an int (symmetric) or an
+    explicit ((top, bottom), (left, right)) pair."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
     return lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
 
 
-def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding: int = 0,
+def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
             groups: int = 1, act=silu):
     """Conv (+BatchNorm unless folded) (+activation).
 

@@ -79,9 +79,15 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
     state = None
     if args.resume:
         payload = ckpt_io.load_checkpoint(args.resume)
-        state = {k: payload[k] for k in
-                 ("params", "opt", "step", "ema_updates", "ema_params")}
-        state = jax.tree_util.tree_map(jnp.asarray, state)
+        if "opt" in payload:  # full training state
+            state = {k: payload[k] for k in
+                     ("params", "opt", "step", "ema_updates", "ema_params")}
+            state = jax.tree_util.tree_map(jnp.asarray, state)
+        else:  # stripped (inference-only) checkpoint: params only,
+               # fresh optimizer/EMA (reference resume restores the model
+               # and optionally the optimizer, main.py:29-35,51-55)
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), payload["params"])
         start_epoch = int(payload.get("epoch", 0))
         best = float(payload.get("best", 0.0))
         print(f"resumed from {args.resume} at epoch {start_epoch}")
@@ -127,6 +133,16 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
         logger = csv.DictWriter(log, fieldnames=[
             "epoch", "box", "cls", "dfl", "Recall", "Precision", "mAP@50", "mAP"])
         logger.writeheader()
+
+    # Optional TensorBoard (reference has CSV only, SURVEY.md §5; the CSV
+    # contract above is kept either way).
+    tb = None
+    if is_rank0 and getattr(args, "tensorboard", False):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(os.path.join(args.save_dir, "tb"))
+        except Exception as e:  # keep training if TB is unavailable
+            print(f"tensorboard disabled: {e}")
 
     def put(batch):
         return dp.shard_batch(batch) if dp is not None else batch
@@ -187,6 +203,16 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                         "Recall": f"{recall:.3f}", "Precision": f"{precision:.3f}"})
                     log.flush()
 
+                if tb is not None:
+                    for k, v in (("loss/box", meters["box"].avg),
+                                 ("loss/cls", meters["cls"].avg),
+                                 ("loss/dfl", meters["dfl"].avg),
+                                 ("val/mAP", m_ap), ("val/mAP50", m_ap50),
+                                 ("val/recall", recall),
+                                 ("val/precision", precision)):
+                        tb.add_scalar(k, v, epoch + 1)
+                    tb.flush()
+
                 best = max(best, m_ap)
                 payload = {"epoch": epoch + 1, "best": best,
                            "meta": {"size": args.model_size,
@@ -200,6 +226,8 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
     finally:
         if log:
             log.close()
+        if tb is not None:
+            tb.close()
 
     if is_rank0:
         for name in ("best.ckpt", "last.ckpt"):
