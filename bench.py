@@ -24,13 +24,11 @@ def build_step(cfg, params, batch):
     import jax.numpy as jnp
 
     from tpu_yolo.models import yolov11
-    from tpu_yolo.ops.nms import batched_nms
 
     @jax.jit
     def step(p, images):
         x = images.astype(jnp.bfloat16) / jnp.bfloat16(255)
-        preds = yolov11.forward(p, x, cfg, train=False)
-        return batched_nms(preds)
+        return yolov11.forward_nms(p, x, cfg)
 
     return step
 

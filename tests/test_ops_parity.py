@@ -75,3 +75,31 @@ def test_average_precision():
     assert abs(res["recall"] - g["m_rec"]) < 1e-9
     assert abs(res["map50"] - g["map50"]) < 1e-9
     assert abs(res["map"] - g["mean_ap"]) < 1e-9
+
+
+def test_fused_nms_matches_two_stage():
+    """forward_nms (fused decode+NMS) == batched_nms(decode_predictions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.core.config import ModelConfig
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.ops.nms import batched_nms
+
+    cfg = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                      csp=(False, True), num_classes=8)
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), cfg))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 1, (2, 96, 96, 3)).astype(np.float32))
+
+    two = batched_nms(yolov11.forward(params, x, cfg, train=False),
+                      conf_thres=1e-6)
+    fused = yolov11.forward_nms(params, x, cfg, conf_thres=1e-6)
+
+    assert (np.asarray(two["count"]) == np.asarray(fused["count"])).all()
+    n = int(two["count"][0])
+    for key, tol in (("boxes", 1e-3), ("scores", 1e-5)):
+        a, b = np.asarray(two[key]), np.asarray(fused[key])
+        assert np.abs(a - b).max() < tol, key
+    assert (np.asarray(two["classes"]) == np.asarray(fused["classes"])).all()

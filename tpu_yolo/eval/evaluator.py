@@ -27,7 +27,6 @@ import numpy as np
 from tpu_yolo.core.config import ModelConfig
 from tpu_yolo.eval.metrics import average_precision, match_predictions
 from tpu_yolo.models import yolov11
-from tpu_yolo.ops.nms import batched_nms
 
 IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 
@@ -37,11 +36,11 @@ IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 def predict_step(params, images, *, cfg: ModelConfig,
                  compute_dtype=jnp.bfloat16, conf_thres: float = 0.001,
                  iou_thres: float = 0.65, max_det: int = 300):
-    """uint8 NHWC batch -> NMS'd detections, entirely on device."""
+    """uint8 NHWC batch -> NMS'd detections, entirely on device (fused
+    decode+NMS path, models.forward_nms)."""
     x = images.astype(compute_dtype) / compute_dtype(255)
-    preds = yolov11.forward(params, x, cfg, train=False)
-    return batched_nms(preds, conf_thres=conf_thres, iou_thres=iou_thres,
-                       max_det=max_det)
+    return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
+                               iou_thres=iou_thres, max_det=max_det)
 
 
 def _gt_pixel_boxes(targets: dict, image_index: int, input_hw) -> np.ndarray:

@@ -85,39 +85,93 @@ def batched_nms(preds,
     cand_boxes = jnp.take_along_axis(boxes_xywh, anchor_idx[..., None], axis=1)
     cand_boxes = xywh_to_xyxy(cand_boxes)                 # (B, K, 4)
 
-    # class-offset so cross-class boxes never overlap
+    # Class-offset IoU mask + Jacobi fixpoint of the greedy recurrence
+    # (exact on the acyclic suppression DAG) + compaction.
+    return _suppress(cand_boxes, top_scores, cls_idx, k,
+                     conf_thres=conf_thres, iou_thres=iou_thres,
+                     max_det=max_det)
+
+
+def nms_from_raw(raw_maps, cfg, input_hw,
+                 conf_thres: float = 0.001,
+                 iou_thres: float = 0.65,
+                 max_det: int = 300,
+                 max_nms: int = 2048):
+    """Fused decode+NMS from raw per-level head maps.
+
+    Skips materializing the full decoded (B, A, 4+nc) float tensor of
+    the two-stage path (decode_predictions -> batched_nms): class
+    scores flow straight from the bf16 head maps into candidate
+    ranking, and DFL box decode runs only on the K selected candidates
+    (K=2048) instead of all A anchors (8400 at 640px). Output semantics
+    are identical to batched_nms(decode_predictions(raw)).
+    """
+    import numpy as np
+
+    from tpu_yolo.ops.anchors import make_anchors
+    from tpu_yolo.ops.boxes import dfl_decode
+
+    b = raw_maps[0].shape[0]
+    no = cfg.no
+    nc = cfg.num_classes
+    reg4 = 4 * cfg.reg_max
+    flat = jnp.concatenate([m.reshape(b, -1, no) for m in raw_maps], axis=1)
+    dist, cls = jnp.split(flat, (reg4,), axis=-1)       # (B, A, 64/nc)
+    a = dist.shape[1]
+
+    scores = jax.nn.sigmoid(cls.astype(jnp.float32)).reshape(b, a * nc)
+    k = min(max_nms, a * nc, 8192)
+    if a * nc > 4 * k and jax.default_backend() != "cpu":
+        top_scores, top_idx = jax.lax.approx_max_k(scores, k, recall_target=0.95)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+    anchor_idx = top_idx // nc
+    cls_idx = (top_idx % nc).astype(jnp.int32)
+
+    anchors, stride_t = make_anchors(input_hw, cfg.strides)
+    anchors = jnp.asarray(anchors, jnp.float32)          # (A, 2)
+    stride_t = jnp.asarray(stride_t, jnp.float32)        # (A, 1)
+
+    d_k = jnp.take_along_axis(dist, anchor_idx[..., None],
+                              axis=1).astype(jnp.float32)      # (B, K, 64)
+    anch_k = anchors[anchor_idx]                         # (B, K, 2)
+    str_k = stride_t[anchor_idx]                         # (B, K, 1)
+    cand_boxes = dfl_decode(d_k, anch_k, cfg.reg_max, xywh=False) * str_k
+
+    return _suppress(cand_boxes, top_scores, cls_idx, k,
+                     conf_thres=conf_thres, iou_thres=iou_thres,
+                     max_det=max_det)
+
+
+def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
+              max_det):
+    """Shared suppression tail: class-offset mask + Jacobi fixpoint +
+    compaction. cand_boxes are xyxy (B, K, 4), score-descending."""
     off = cand_boxes + (cls_idx.astype(cand_boxes.dtype) * MAX_WH)[..., None]
+    valid = top_scores > conf_thres
 
-    valid = top_scores > conf_thres                        # (B, K)
-
-    # Pairwise IoU > thr, computed in one fused pass; only the boolean
-    # mask materializes (B, K, K).
     lt = jnp.maximum(off[:, :, None, :2], off[:, None, :, :2])
     rb = jnp.minimum(off[:, :, None, 2:], off[:, None, :, 2:])
-    inter = jnp.clip(rb - lt, 0).prod(-1)                  # (B, K, K)
+    inter = jnp.clip(rb - lt, 0).prod(-1)
     area = jnp.clip(off[..., 2:] - off[..., :2], 0).prod(-1)
     iou = inter / (area[:, :, None] + area[:, None, :] - inter + 1e-12)
     tri = jnp.arange(k)
     mask = (iou > iou_thres) & (tri[:, None] < tri[None, :]) & valid[:, :, None]
 
-    # Jacobi fixpoint of the greedy recurrence (exact on the acyclic
-    # suppression DAG; loop until no change).
     def cond(state):
-        keep, changed, it = state
+        _, changed, it = state
         return changed & (it < k)
 
     def body(state):
         keep, _, it = state
-        suppressed = jnp.any(mask & keep[:, :, None], axis=1)   # (B, K)
+        suppressed = jnp.any(mask & keep[:, :, None], axis=1)
         new_keep = valid & ~suppressed
         return new_keep, jnp.any(new_keep != keep), it + 1
 
     keep, _, _ = jax.lax.while_loop(
         cond, body, (valid, jnp.asarray(True), jnp.asarray(0)))
 
-    # Compact kept candidates to the front (they are already score-
-    # sorted; a stable argsort on ~keep preserves that order).
-    order = jnp.argsort(~keep, axis=-1, stable=True)[:, :max_det]  # (B, D)
+    order = jnp.argsort(~keep, axis=-1, stable=True)[:, :max_det]
     out_valid = jnp.take_along_axis(keep, order, axis=1)
     gather = lambda v: jnp.take_along_axis(v, order, axis=1)
     out_boxes = jnp.take_along_axis(cand_boxes, order[..., None], axis=1)

@@ -28,7 +28,6 @@ import numpy as np
 
 from tpu_yolo.core.config import ModelConfig, get_model_config
 from tpu_yolo.models import yolov11
-from tpu_yolo.ops.nms import batched_nms
 
 
 class Detector:
@@ -154,6 +153,5 @@ class Detector:
 def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
              max_det):
     x = images.astype(compute_dtype) / compute_dtype(255)
-    preds = yolov11.forward(params, x, cfg, train=False)
-    return batched_nms(preds, conf_thres=conf_thres, iou_thres=iou_thres,
-                       max_det=max_det)
+    return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
+                               iou_thres=iou_thres, max_det=max_det)
