@@ -1,0 +1,89 @@
+"""Evaluator sanity: a synthetic oracle detector must score mAP = 1.0;
+a wrong-class detector must score 0. Also exercises partial weight load."""
+import numpy as np
+
+from tpu_yolo.eval.evaluator import IOU_THRESHOLDS
+from tpu_yolo.eval.metrics import average_precision, match_predictions
+
+
+def _fake_eval(det_per_image, gt_per_image):
+    all_tp, all_conf, all_pcls, all_tcls = [], [], [], []
+    for det, gt in zip(det_per_image, gt_per_image):
+        tp = match_predictions(det, gt, IOU_THRESHOLDS)
+        all_tp.append(tp)
+        all_conf.append(det[:, 4])
+        all_pcls.append(det[:, 5])
+        all_tcls.append(gt[:, 0])
+    return average_precision(np.concatenate(all_tp), np.concatenate(all_conf),
+                             np.concatenate(all_pcls), np.concatenate(all_tcls))
+
+
+def test_perfect_detector_scores_one():
+    rng = np.random.default_rng(0)
+    dets, gts = [], []
+    for _ in range(6):
+        n = rng.integers(1, 5)
+        xy = rng.uniform(0, 400, (n, 2))
+        wh = rng.uniform(40, 120, (n, 2))
+        cls = rng.integers(0, 3, n).astype(np.float32)
+        gt = np.concatenate([cls[:, None], xy, xy + wh], 1).astype(np.float32)
+        det = np.concatenate(
+            [gt[:, 1:5], rng.uniform(0.5, 1.0, (n, 1)), cls[:, None]],
+            1).astype(np.float32)
+        dets.append(det)
+        gts.append(gt)
+    res = _fake_eval(dets, gts)
+    # 0.995 is the exact ceiling of 101-point interpolated AP (the
+    # recall=1.0 grid point reads the appended zero-precision sentinel) —
+    # same convention as the reference's compute_ap (util.py:271-280).
+    assert res["map"] > 0.99
+    assert res["map50"] > 0.99
+    assert res["precision"] == 1.0 and res["recall"] == 1.0
+
+
+def test_wrong_class_detector_scores_zero():
+    gt = np.array([[0, 10, 10, 100, 100]], np.float32)
+    det = np.array([[10, 10, 100, 100, 0.9, 1]], np.float32)  # class 1 != 0
+    res = _fake_eval([det], [gt])
+    assert res["map"] < 1e-6
+
+
+def test_partial_weight_load_reports():
+    import jax
+
+    from tpu_yolo.core.config import ModelConfig
+    from tpu_yolo.io.weights import _tree_paths, load_partial
+    from tpu_yolo.models import yolov11
+
+    tiny8 = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                        csp=(False, True), num_classes=8)
+    tiny3 = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                        csp=(False, True), num_classes=3)
+    src_params = yolov11.init_params(jax.random.PRNGKey(0), tiny8)
+    template = yolov11.init_params(jax.random.PRNGKey(1), tiny3)
+
+    # synthesize a reference-format state dict from the nc=8 tree
+    state = {}
+    leaf_back = {"w": "conv.weight", "gamma": "norm.weight", "beta": "norm.bias",
+                 "mean": "norm.running_mean", "var": "norm.running_var",
+                 "b": "bias"}
+    for path, arr in _tree_paths(src_params).items():
+        parts = path.split("/")
+        stem, leaf = ".".join(parts[:-1]), parts[-1]
+        a = np.asarray(arr)
+        if leaf == "w" and a.ndim == 4:
+            a = a.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        if leaf == "b":
+            state[f"{stem}.{leaf_back['b']}"] = a
+        else:
+            state[f"{stem}.{leaf_back[leaf]}"] = a
+
+    params, report = load_partial(state, template, source_format="reference")
+    assert len(report["loaded"]) > 100
+    # cls-head leaves that depend on num_classes must be skipped by shape
+    assert any("head/cls" in f"{s}" for s, *_ in report["skipped_shape"]) or \
+        any("head/cls" in m for m in report["missing"])
+    # loaded backbone leaf matches the source exactly
+    np.testing.assert_array_equal(
+        np.asarray(params["net"]["p1"][0]["gamma"]),
+        np.asarray(src_params["net"]["p1"][0]["gamma"]))

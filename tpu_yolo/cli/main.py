@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--train", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--export", action="store_true", help="export StableHLO")
+    p.add_argument("--profile", action="store_true",
+                   help="print params + GFLOPs (XLA cost model) and exit")
     p.add_argument("--weights", default="", help=".pt/.npz/.ckpt to load")
     p.add_argument("--resume", default="", help="checkpoint to resume from")
     p.add_argument("--data-dir", default="./COCO")
@@ -83,6 +85,16 @@ def main():
 
     hyp = load_hyperparams(args.hyp or None)
     cfg = get_model_config(args.model_size, num_classes=len(hyp["names"]))
+
+    if args.profile:
+        import jax
+
+        from tpu_yolo.models import yolov11
+        from tpu_yolo.utils.profiler import print_profile
+        params = yolov11.fold_batchnorm(
+            yolov11.init_params(jax.random.PRNGKey(args.seed), cfg))
+        print_profile(params, cfg, args.input_size)
+        return
 
     if args.train:
         import jax

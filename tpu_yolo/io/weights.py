@@ -292,3 +292,38 @@ def load_checkpoint_params(path: str, template_params, source_format: str | None
     """One-call load: torch/npz file -> converted, fully-covered pytree."""
     return convert_state_dict(load_torch_state_dict(path), template_params,
                               source_format)
+
+
+def load_partial(state: dict[str, np.ndarray], template_params,
+                 source_format: str | None = None):
+    """Shape-matched partial load for transfer learning (reference
+    load_weight, utils/util.py:345-355 — e.g. COCO backbone under a new
+    num_classes head). Unlike convert_state_dict this does NOT assert
+    coverage; it returns (params, report) where report lists 'loaded',
+    'skipped_shape' (name, src shape, dst shape) and 'missing' leaves, so
+    partial loads are explicit rather than silent (the reference prints
+    and moves on)."""
+    source_format = source_format or _detect_format(state.keys())
+    translate = (_translate_reference_key if source_format == "reference"
+                 else _translate_ultralytics_key)
+
+    import jax
+    params = jax.tree_util.tree_map(lambda x: x, template_params)
+    expected = _tree_paths(params)
+    report = {"loaded": [], "skipped_shape": [], "missing": []}
+
+    for src_key, tensor in state.items():
+        path = translate(src_key)
+        if path is None or path not in expected:
+            continue
+        if path.endswith("/w") and tensor.ndim == 4:
+            tensor = tensor.transpose(2, 3, 1, 0)
+        if tuple(tensor.shape) != tuple(expected[path].shape):
+            report["skipped_shape"].append(
+                (src_key, tuple(tensor.shape), tuple(expected[path].shape)))
+            continue
+        _tree_set(params, path, jnp.asarray(tensor, dtype=jnp.float32))
+        report["loaded"].append(path)
+
+    report["missing"] = sorted(set(expected) - set(report["loaded"]))
+    return params, report
