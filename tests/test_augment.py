@@ -72,7 +72,6 @@ def test_mixup_blend():
 
 
 def test_mosaic_labels_inside_canvas():
-    import cv2
 
     class FakeDS:
         input_size = 64

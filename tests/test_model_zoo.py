@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tpu_yolo.core.config import MODEL_CONFIGS, get_model_config
+from tpu_yolo.core.config import get_model_config
 from tpu_yolo.models import yolov11
 from tpu_yolo.utils.profiler import count_params
 

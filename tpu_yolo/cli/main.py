@@ -113,7 +113,6 @@ def main():
         train(args, hyp, cfg, dp)
 
     if args.test:
-        from tpu_yolo.core.config import COCO_NAMES
         from tpu_yolo.data.dataset import DetectionDataset
         from tpu_yolo.data.loader import DataLoader
         from tpu_yolo.eval.evaluator import evaluate

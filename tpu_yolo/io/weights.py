@@ -22,7 +22,6 @@ Layout transform: torch conv weights are OIHW; ours are HWIO
 """
 from __future__ import annotations
 
-import io
 import pickle
 import re
 

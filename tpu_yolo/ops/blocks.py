@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tpu_yolo.ops.nn import Context, conv_bn, identity, max_pool, silu, sub
+from tpu_yolo.ops.nn import Context, conv_bn, identity, max_pool, sub
 
 
 def residual(p, x, ctx: Context, path: str):

@@ -17,7 +17,6 @@ nesterov step d = grad' + mu*buf; p -= lr*d.
 """
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp
