@@ -89,3 +89,17 @@ def test_mosaic_labels_inside_canvas():
     if len(label):
         assert (label[:, 1:] >= 0).all()
         assert (label[:, 1:] <= 64).all()
+
+
+def test_photometric_jitter_forced():
+    """p=1 applies every perturbation; output stays uint8 same-shape."""
+    random.seed(0)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    out = A.photometric_jitter(img.copy(), p=1.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # grayscale happened somewhere in the chain -> channels equal
+    assert (out[..., 0] == out[..., 1]).all() or (out != img).any()
+    # p=0 is the identity
+    same = A.photometric_jitter(img.copy(), p=0.0)
+    np.testing.assert_array_equal(same, img)

@@ -137,3 +137,31 @@ def test_grad_accumulation_equivalence():
                           cfg=TINY, accumulate=2, apply_update=True)
     after = np.asarray(state["params"]["net"]["p1"][0]["w"])
     assert np.abs(after - before).max() > 0, "no update applied"
+
+
+def test_remat_train_step_matches():
+    """remat=True computes identical losses/updates to remat=False."""
+    params = yolov11.init_params(jax.random.PRNGKey(2), TINY)
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3), np.uint8))
+    gt = np.zeros((2, 2, 5), np.float32)
+    gt[:, 0] = [1, 8.0, 8.0, 40.0, 40.0]
+    gt = jnp.asarray(gt)
+    hyp = jnp.asarray([7.5, 0.5, 1.5], jnp.float32)
+
+    outs = {}
+    for remat in (False, True):
+        state = init_train_state(params, ema=False)
+        state, m = train_step(state, imgs, gt, 0.01, hyp, 5e-4, 0.937,
+                              cfg=TINY, accumulate=1, apply_update=True,
+                              remat=remat, compute_dtype=jnp.float32)
+        outs[remat] = (m, state["params"]["net"]["p1"][0])
+    for k in outs[False][0]:
+        np.testing.assert_allclose(float(outs[False][0][k]),
+                                   float(outs[True][0][k]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[False][1]["w"]),
+                               np.asarray(outs[True][1]["w"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[False][1]["mean"]),
+                               np.asarray(outs[True][1]["mean"]),
+                               rtol=1e-5, atol=1e-7)

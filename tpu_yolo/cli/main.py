@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--plot", action="store_true", help="save eval curves")
     p.add_argument("--tensorboard", action="store_true",
                    help="also log scalars to save-dir/tb (CSV always written)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in backward (less "
+                        "activation memory, ~1/3 more FLOPs)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     return p.parse_args()

@@ -55,6 +55,26 @@ def hsv_jitter(img, gain_h: float, gain_s: float, gain_v: float):
     return img
 
 
+def photometric_jitter(img, p: float = 0.01):
+    """Rare photometric perturbations: blur / CLAHE / grayscale / median
+    blur, each with probability p. Native-OpenCV counterpart of the
+    reference's optional Albumentations hook (dataset.py:390-414 —
+    Blur/CLAHE/ToGray/MedianBlur at p=0.01), without the optional
+    dependency. Purely photometric: boxes are unaffected."""
+    if random.random() < p:
+        img = cv2.blur(img, (random.choice((3, 5, 7)),) * 2)
+    if random.random() < p:
+        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+        lab[..., 0] = cv2.createCLAHE(2.0, (8, 8)).apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+    if random.random() < p:
+        img = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY),
+                           cv2.COLOR_GRAY2BGR)
+    if random.random() < p:
+        img = cv2.medianBlur(img, random.choice((3, 5)))
+    return img
+
+
 def _box_survives(before, after):
     """Keep boxes that stay big and sane after warp (reference
     dataset.py:316-321): >2px sides, >10% area kept, aspect < 100."""

@@ -61,6 +61,7 @@ class DetectionDataset:
         box = A.corners_to_norm(label[:, 1:5], w, h) if len(label) else label[:, 1:5].copy()
 
         if self.augment:
+            image = A.photometric_jitter(image)
             A.hsv_jitter(image, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"])
             if random.random() < self.hyp["flip_ud"]:
                 image = np.flipud(image)

@@ -66,12 +66,14 @@ def _copy_tree(tree):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "accumulate", "apply_update", "compute_dtype"),
+    static_argnames=("cfg", "accumulate", "apply_update", "compute_dtype",
+                     "remat"),
     donate_argnames=("state",),
 )
 def train_step(state, images, gt, lr, hyp_gains, wd, momentum, *,
                cfg: ModelConfig, accumulate: int = 1,
-               apply_update: bool = True, compute_dtype=jnp.bfloat16):
+               apply_update: bool = True, compute_dtype=jnp.bfloat16,
+               remat: bool = False):
     """One micro-step. Returns (new_state, metrics dict).
 
     Args:
@@ -86,18 +88,29 @@ def train_step(state, images, gt, lr, hyp_gains, wd, momentum, *,
       accumulate/apply_update: grad-accumulation window and whether this
         call performs the parameter update (host decides by step index,
         reference main.py:158).
+      remat: rematerialize the forward pass in the backward (jax
+        .checkpoint) — ~1/3 more FLOPs for a large activation-memory cut;
+        enables bigger models/batches per chip. BN-stat updates are
+        routed through the checkpointed function's outputs (a traced
+        side-channel escaping a remat region would leak tracers).
     """
     params = _copy_tree(state["params"])
     x = images.astype(compute_dtype) / compute_dtype(255)
     global_bs = images.shape[0]
 
-    def loss_fn(p):
+    def fwd_fn(p, xx):
         ctx = Context(train=True)
-        raw = yolov11.forward_raw(p, x, cfg, ctx)
+        raw = yolov11.forward_raw(p, xx, cfg, ctx)
+        return raw, ctx.updates
+
+    fwd = jax.checkpoint(fwd_fn) if remat else fwd_fn
+
+    def loss_fn(p):
+        raw, bn_updates = fwd(p, x)
         hyp = {"box": hyp_gains[0], "cls": hyp_gains[1], "dfl": hyp_gains[2]}
         lb, lc, ld = detection_loss(raw, gt, hyp, cfg)
         total = (lb + lc + ld) * global_bs
-        return total, ((lb, lc, ld), ctx.updates)
+        return total, ((lb, lc, ld), bn_updates)
 
     grads, ((lb, lc, ld), bn_updates) = jax.grad(loss_fn, has_aux=True)(params)
 

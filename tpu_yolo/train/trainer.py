@@ -175,7 +175,8 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                 state, metrics = train_step(
                     state, put(images), put(gt), lr, hyp_gains, wd,
                     hyp["momentum"], cfg=cfg, accumulate=accumulate,
-                    apply_update=apply_update)
+                    apply_update=apply_update,
+                    remat=getattr(args, "remat", False))
 
                 bs = images.shape[0]
                 for k, v in (("box", metrics["loss_box"]),
