@@ -87,3 +87,40 @@ def test_partial_weight_load_reports():
     np.testing.assert_array_equal(
         np.asarray(params["net"]["p1"][0]["gamma"]),
         np.asarray(src_params["net"]["p1"][0]["gamma"]))
+
+
+def test_evaluate_loop_with_ragged_final_batch():
+    """evaluate() pads the last batch, overlaps host matching, and
+    returns the reference test() tuple."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.core.config import ModelConfig
+    from tpu_yolo.eval.evaluator import evaluate
+    from tpu_yolo.models import yolov11
+
+    tiny = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                       csp=(False, True), num_classes=2)
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), tiny))
+    rng = np.random.default_rng(0)
+
+    def loader():
+        for n in (4, 4, 2):  # ragged final batch
+            images = rng.integers(0, 256, (n, 64, 64, 3), np.uint8)
+            cls = np.zeros((n, 1), np.float32)
+            box = np.tile(np.array([[0.5, 0.5, 0.4, 0.4]], np.float32), (n, 1))
+            idx = np.arange(n, dtype=np.float32)
+            yield images, {"cls": cls, "box": box, "idx": idx}
+
+    class L:
+        def __iter__(self):
+            return loader()
+
+        def __len__(self):
+            return 3
+
+    m_ap, m_ap50, recall, precision = evaluate(
+        params, L(), tiny, input_size=64, compute_dtype=jnp.float32)
+    for v in (m_ap, m_ap50, recall, precision):
+        assert isinstance(v, float) and 0.0 <= v <= 1.0

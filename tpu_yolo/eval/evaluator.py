@@ -76,24 +76,13 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
     step = functools.partial(predict_step, cfg=cfg, compute_dtype=compute_dtype)
 
     all_tp, all_conf, all_pcls, all_tcls = [], [], [], []
-    n_batches = None
     it = loader
     if progress:
         import tqdm
         it = tqdm.tqdm(loader, total=len(loader), desc="eval")
 
-    batch_size = None
-    for images, targets in it:
-        if batch_size is None:
-            batch_size = images.shape[0]
-        n = images.shape[0]
-        if n < batch_size:  # pad final batch to keep one compiled shape
-            pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
-            images = np.concatenate([images, pad], axis=0)
-        x = device_put_fn(images) if device_put_fn else images
-        out = step(params, x)
+    def consume(out, targets, n):
         out = jax.device_get(out)
-
         for b in range(n):
             cnt = int(out["count"][b])
             det = np.zeros((cnt, 6), np.float32)
@@ -110,6 +99,27 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
             all_conf.append(det[:, 4])
             all_pcls.append(det[:, 5])
             all_tcls.append(gt[:, 0])
+
+    # Double-buffered: dispatch batch i+1 (async) before the host runs
+    # the TP-matrix matching for batch i, so per-image numpy matching
+    # overlaps device compute (reference test() is fully serial,
+    # main.py:263-294).
+    batch_size = None
+    pending = None  # (device result, targets, real batch count)
+    for images, targets in it:
+        if batch_size is None:
+            batch_size = images.shape[0]
+        n = images.shape[0]
+        if n < batch_size:  # pad final batch to keep one compiled shape
+            pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        x = device_put_fn(images) if device_put_fn else images
+        out = step(params, x)
+        if pending is not None:
+            consume(*pending)
+        pending = (out, targets, n)
+    if pending is not None:
+        consume(*pending)
 
     if not all_tp:
         return 0.0, 0.0, 0.0, 0.0
