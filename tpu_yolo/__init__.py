@@ -26,3 +26,52 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+from tpu_yolo.core.config import (  # noqa: E402
+    COCO_NAMES,
+    MODEL_CONFIGS,
+    ModelConfig,
+    get_model_config,
+    load_hyperparams,
+)
+from tpu_yolo.models.yolov11 import (  # noqa: E402
+    decode_predictions,
+    fold_batchnorm,
+    fold_stem_space_to_depth,
+    forward,
+    forward_nms,
+    forward_raw,
+    init_params,
+)
+from tpu_yolo.ops.nms import batched_nms, nms_from_raw  # noqa: E402
+from tpu_yolo.io.weights import (  # noqa: E402
+    convert_state_dict,
+    load_checkpoint_params,
+    load_partial,
+    load_torch_state_dict,
+)
+from tpu_yolo.io.checkpoint import (  # noqa: E402
+    load_checkpoint,
+    save_checkpoint,
+    strip_checkpoint,
+)
+from tpu_yolo.parallel import DataParallel, make_mesh  # noqa: E402
+
+__all__ = [
+    "COCO_NAMES", "MODEL_CONFIGS", "ModelConfig", "get_model_config",
+    "load_hyperparams", "decode_predictions", "fold_batchnorm",
+    "fold_stem_space_to_depth", "forward", "forward_nms", "forward_raw",
+    "init_params", "batched_nms", "nms_from_raw", "convert_state_dict",
+    "load_checkpoint_params", "load_partial", "load_torch_state_dict",
+    "load_checkpoint", "save_checkpoint", "strip_checkpoint",
+    "DataParallel", "make_mesh", "Detector",
+]
+
+
+def __getattr__(name):
+    # Lazy: serve/train/eval pull in heavier deps (cv2, native loader);
+    # keep the base import light.
+    if name == "Detector":
+        from tpu_yolo.serve import Detector
+        return Detector
+    raise AttributeError(f"module 'tpu_yolo' has no attribute {name!r}")

@@ -62,7 +62,7 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
                 try:
                     for batch_idx in batches:
                         if stop.is_set():
