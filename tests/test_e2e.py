@@ -115,17 +115,17 @@ def test_cli_resume(mini_coco, tmp_path):
     r = subprocess.run(base + ["--epochs", "1"], cwd=repo, env=env,
                        capture_output=True, text=True, timeout=3000)
     assert r.returncode == 0, r.stderr[-4000:]
-    # strip_checkpoint ran at end-of-training; resume needs the full
-    # state, so re-train writes it — resume from last BEFORE strip is the
-    # normal mid-run crash story; emulate by restoring optimizer presence
+    # strip_checkpoint ran at end-of-training, so last.ckpt is an
+    # inference-only artifact; resuming from it means fine-tune semantics
+    # (params restored, fresh optimizer/EMA, epoch reset to 0).
     from tpu_yolo.io.checkpoint import load_checkpoint
     ckpt = load_checkpoint(str(save_dir / "last.ckpt"))
-    assert "params" in ckpt
+    assert "params" in ckpt and "opt" not in ckpt
 
     r = subprocess.run(
         base + ["--epochs", "2", "--resume", str(save_dir / "last.ckpt")],
         cwd=repo, env=env, capture_output=True, text=True, timeout=3000)
     assert r.returncode == 0, r.stderr[-4000:]
-    assert "resumed" in r.stdout.lower()
+    assert "fine-tuning from stripped checkpoint" in r.stdout.lower()
     rows = (save_dir / "step.csv").read_text().strip().splitlines()
-    assert rows[-1].startswith("002")  # continued at epoch 2
+    assert rows[-1].startswith("002")  # ran both epochs of the new run

@@ -309,10 +309,16 @@ def load_partial(state: dict[str, np.ndarray], template_params,
     import jax
     params = jax.tree_util.tree_map(lambda x: x, template_params)
     expected = _tree_paths(params)
-    report = {"loaded": [], "skipped_shape": [], "missing": []}
+    report = {"loaded": [], "skipped_shape": [], "unmapped": [], "missing": []}
 
     for src_key, tensor in state.items():
-        path = translate(src_key)
+        try:
+            path = translate(src_key)
+        except KeyError:
+            # foreign layer/leaf names (e.g. a yolov8 checkpoint) are a
+            # report entry here, not an error — this is the lenient path
+            report["unmapped"].append(src_key)
+            continue
         if path is None or path not in expected:
             continue
         if path.endswith("/w") and tensor.ndim == 4:

@@ -106,8 +106,6 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     (K=2048) instead of all A anchors (8400 at 640px). Output semantics
     are identical to batched_nms(decode_predictions(raw)).
     """
-    import numpy as np
-
     from tpu_yolo.ops.anchors import make_anchors
     from tpu_yolo.ops.boxes import dfl_decode
 

@@ -75,28 +75,41 @@ class Detector:
 
         if native_loader.available():
             if self._pipe is None:
+                # allow_upscale=True reproduces the eval-parity geometry:
+                # load_image scales the long side to input_size (upscaling
+                # small images, reference dataset.py:98-102) before the
+                # r<=1 letterbox — the combined scale equals the native
+                # pipeline's unclamped min(size/h, size/w).
                 self._pipe = native_loader.NativePipeline(
-                    self.input_size, threads=self._decode_threads)
+                    self.input_size, threads=self._decode_threads,
+                    allow_upscale=True)
             return self._pipe.load_batch(paths)
 
-        # Python/OpenCV fallback
+        # Python/OpenCV fallback — same thread-pool overlap as the native
+        # path (cv2 decode releases the GIL).
+        from concurrent.futures import ThreadPoolExecutor
+
         from tpu_yolo.data.image import letterbox, load_image
 
         n = len(paths)
         out = np.zeros((n, self.input_size, self.input_size, 3), np.uint8)
         metas = np.full((n, 5), -1, np.float32)
-        fails = 0
-        for i, p in enumerate(paths):
+
+        def decode(i):
             try:
-                img, (h, w) = load_image(p, self.input_size)
+                img, (h, w) = load_image(paths[i], self.input_size)
                 boxed, ratio, pad = letterbox(img, self.input_size)
                 out[i] = boxed[:, :, ::-1]
                 # load_image pre-scales (long side -> input_size); fold
                 # that and the letterbox ratio into one original->net scale.
                 metas[i] = (ratio[0] * img.shape[1] / w,
                             pad[0], pad[1], w, h)
+                return 0
             except Exception:
-                fails += 1
+                return 1
+
+        with ThreadPoolExecutor(max(self._decode_threads, 1)) as pool:
+            fails = sum(pool.map(decode, range(n)))
         return out, metas, fails
 
     # -- inference --------------------------------------------------------

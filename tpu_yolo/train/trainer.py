@@ -83,14 +83,17 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
             state = {k: payload[k] for k in
                      ("params", "opt", "step", "ema_updates", "ema_params")}
             state = jax.tree_util.tree_map(jnp.asarray, state)
-        else:  # stripped (inference-only) checkpoint: params only,
-               # fresh optimizer/EMA (reference resume restores the model
-               # and optionally the optimizer, main.py:29-35,51-55)
+            start_epoch = int(payload.get("epoch", 0))
+            best = float(payload.get("best", 0.0))
+            print(f"resumed from {args.resume} at epoch {start_epoch}")
+        else:  # stripped (inference-only) checkpoint: params only, fresh
+               # optimizer/EMA — fine-tune semantics, so epoch/best reset
+               # too (a stripped ckpt keeps the old run's epoch=600, which
+               # would otherwise make range(start, epochs) empty)
             params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, jnp.float32), payload["params"])
-        start_epoch = int(payload.get("epoch", 0))
-        best = float(payload.get("best", 0.0))
-        print(f"resumed from {args.resume} at epoch {start_epoch}")
+            print(f"fine-tuning from stripped checkpoint {args.resume} "
+                  "(fresh optimizer/EMA, epoch 0)")
     elif args.weights:
         from tpu_yolo.io.weights import load_checkpoint_params
         params = load_checkpoint_params(args.weights, params)
