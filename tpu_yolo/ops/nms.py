@@ -145,16 +145,24 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
               max_det):
     """Shared suppression tail: class-offset mask + Jacobi fixpoint +
     compaction. cand_boxes are xyxy (B, K, 4), score-descending."""
-    off = cand_boxes + (cls_idx.astype(cand_boxes.dtype) * MAX_WH)[..., None]
     valid = top_scores > conf_thres
 
-    lt = jnp.maximum(off[:, :, None, :2], off[:, None, :, :2])
-    rb = jnp.minimum(off[:, :, None, 2:], off[:, None, :, 2:])
-    inter = jnp.clip(rb - lt, 0).prod(-1)
-    area = jnp.clip(off[..., 2:] - off[..., :2], 0).prod(-1)
+    # Per-axis overlap on raw boxes + class-equality (equivalent to the
+    # class-offset trick, reference util.py:160-161, without inflating
+    # coordinates): scalar (B,K,K) planes only — no (B,K,K,2) vector
+    # intermediates for XLA to spill.
+    x1, y1, x2, y2 = (cand_boxes[..., i] for i in range(4))
+    iw = jnp.clip(jnp.minimum(x2[:, :, None], x2[:, None, :])
+                  - jnp.maximum(x1[:, :, None], x1[:, None, :]), 0)
+    ih = jnp.clip(jnp.minimum(y2[:, :, None], y2[:, None, :])
+                  - jnp.maximum(y1[:, :, None], y1[:, None, :]), 0)
+    inter = iw * ih
+    area = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
     iou = inter / (area[:, :, None] + area[:, None, :] - inter + 1e-12)
+    same_cls = cls_idx[:, :, None] == cls_idx[:, None, :]
     tri = jnp.arange(k)
-    mask = (iou > iou_thres) & (tri[:, None] < tri[None, :]) & valid[:, :, None]
+    mask = ((iou > iou_thres) & same_cls
+            & (tri[:, None] < tri[None, :]) & valid[:, :, None])
 
     def cond(state):
         _, changed, it = state
