@@ -88,6 +88,8 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
         return act(y + p["b"].astype(y.dtype))
 
     if ctx.train:
+        # Batch statistics and the normalize both run in f32 (a bf16-IO
+        # normalize was measured: no speedup, degraded loss trajectory).
         yf = y.astype(jnp.float32)
         mean = jnp.mean(yf, axis=(0, 1, 2))
         var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
@@ -99,8 +101,8 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
             (1.0 - BN_MOMENTUM) * p["mean"] + BN_MOMENTUM * mean,
             (1.0 - BN_MOMENTUM) * p["var"] + BN_MOMENTUM * unbiased,
         )
-        yf = (yf - mean) * lax.rsqrt(var + BN_EPS) * p["gamma"] + p["beta"]
-        return act(yf.astype(x.dtype))
+        scale = lax.rsqrt(var + BN_EPS) * p["gamma"]
+        return act(yf * scale + (p["beta"] - mean * scale))
 
     scale = p["gamma"] * lax.rsqrt(p["var"] + BN_EPS)
     bias = p["beta"] - p["mean"] * scale
