@@ -202,7 +202,7 @@ def _backbone(p, x, ctx, cfg: ModelConfig):
     csp0, csp1 = cfg.csp
     c = lambda pp, xx, path, **kw: conv_bn(pp, xx, ctx, path, **kw)
 
-    stem_w = p["p1"][0]["w"]
+    stem_w = p["p1"][0].get("w", p["p1"][0].get("w_q"))
     if stem_w.shape[0] == 2 and stem_w.shape[2] == 4 * cfg.width[0]:
         # space-to-depth stem (fold_stem_space_to_depth): mathematically
         # identical to the 3x3/s2 conv, but the conv runs stride-1 on a

@@ -44,21 +44,32 @@ class Context:
 
     `updates` maps a param-tree path ("net/p1/0") to its new BN running
     stats; the train step applies them to the param tree after grad.
+    `absmax` records each conv input's max|x| when `calibrate` is set
+    (int8 calibration pass, tpu_yolo/quant.py).
     """
 
     train: bool = False
+    calibrate: bool = False
     updates: dict = dataclasses.field(default_factory=dict)
+    absmax: dict = dataclasses.field(default_factory=dict)
 
     def put(self, path: str, mean, var):
         if self.train:
             self.updates[path] = {"mean": mean, "var": var}
+
+    def observe(self, path: str, x):
+        if self.calibrate:
+            m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            prev = self.absmax.get(path)
+            self.absmax[path] = m if prev is None else jnp.maximum(prev, m)
 
 
 def sub(path: str, *parts) -> str:
     return "/".join([path, *map(str, parts)]) if path else "/".join(map(str, parts))
 
 
-def conv2d(x, w, stride: int = 1, padding=0, groups: int = 1):
+def conv2d(x, w, stride: int = 1, padding=0, groups: int = 1,
+           preferred_element_type=None):
     """NHWC x HWIO convolution. `padding` is an int (symmetric) or an
     explicit ((top, bottom), (left, right)) pair."""
     if isinstance(padding, int):
@@ -70,6 +81,7 @@ def conv2d(x, w, stride: int = 1, padding=0, groups: int = 1):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        preferred_element_type=preferred_element_type,
     )
 
 
@@ -80,7 +92,20 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
     Param forms:
       {'w','gamma','beta','mean','var'} — unfolded (training / raw load)
       {'w','b'}                         — BN folded in, or a plain conv
+      {'w_q','s_w','s_in','b'}          — int8 W8A8 (tpu_yolo/quant.py):
+        quantize input -> int8 conv (int32 accum on the MXU) -> dequant
+        by s_in*s_w -> +bias; the q/dq elementwise ops fuse into
+        neighbors so only the conv itself runs int8.
     """
+    if "w_q" in p:
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / p["s_in"]),
+                      -127, 127).astype(jnp.int8)
+        y = conv2d(xq, p["w_q"], stride=stride, padding=padding,
+                   groups=groups, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (p["s_in"] * p["s_w"]) + p["b"]
+        return act(y).astype(x.dtype)
+
+    ctx.observe(path, x)
     w = p["w"].astype(x.dtype)
     y = conv2d(x, w, stride=stride, padding=padding, groups=groups)
 
