@@ -73,3 +73,28 @@ def test_letterbox_vs_rescale_consistency(jpeg_dir):
         manual[:, [0, 2]] = manual[:, [0, 2]].clip(0, 640)
         manual[:, [1, 3]] = manual[:, [1, 3]].clip(0, 480)
         np.testing.assert_allclose(orig["boxes"], manual, rtol=1e-5, atol=1e-3)
+
+
+def test_detector_quantize(jpeg_dir):
+    det = _tiny_detector()
+    before = list(det.stream(jpeg_dir[:1], batch_size=1))[0]
+    det.quantize(jpeg_dir)
+    # quantized params form
+    assert "w_q" in det.params["net"]["p1"][0]
+    after = list(det.stream(jpeg_dir[:1], batch_size=1))[0]
+    # still produces detections of the right shape
+    assert after["boxes"].shape[1] == 4
+
+
+def test_draw_detections(jpeg_dir):
+    import cv2
+
+    from tpu_yolo.utils.viz import draw_detections
+
+    img = cv2.imread(jpeg_dir[0])
+    boxes = np.array([[10, 10, 100, 120], [200, 50, 400, 300]], np.float32)
+    out = draw_detections(img, boxes, [0.9, 0.4], [0, 5],
+                          names={0: "red", 5: "blue"})
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert (out != img).any()          # something was drawn
+    np.testing.assert_array_equal(img, cv2.imread(jpeg_dir[0]))  # input untouched

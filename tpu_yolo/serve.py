@@ -69,6 +69,20 @@ class Detector:
             params = load_checkpoint_params(path, template)
         return cls(yolov11.fold_batchnorm(params), cfg, **kw)
 
+    def quantize(self, calib_paths: list[str], margin: float = 1.0):
+        """Switch to int8 W8A8 inference, calibrated on `calib_paths`
+        (tpu_yolo/quant.py). NOTE: measured slower than bf16 on v5e at
+        YOLOv11 channel widths (BENCH.md) — provided for memory-bound
+        deployments and smaller-footprint weight shipping."""
+        from tpu_yolo.quant import quantize_model
+
+        imgs, metas, nfail = self._decode_batch(calib_paths)
+        if nfail:
+            imgs = imgs[metas[:, 0] > 0]
+        self.params = quantize_model(self.params, self.cfg, imgs,
+                                     margin=margin)
+        return self
+
     # -- host decode ------------------------------------------------------
     def _decode_batch(self, paths: list[str]):
         from tpu_yolo.data import native_loader
