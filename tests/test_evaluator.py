@@ -124,3 +124,20 @@ def test_evaluate_loop_with_ragged_final_batch():
         params, L(), tiny, input_size=64, compute_dtype=jnp.float32)
     for v in (m_ap, m_ap50, recall, precision):
         assert isinstance(v, float) and 0.0 <= v <= 1.0
+
+
+def test_plot_outputs(tmp_path):
+    """average_precision(plot_dir=...) writes the four curve PNGs
+    (reference util.py:289-292 contract)."""
+    rng = np.random.default_rng(0)
+    n = 50
+    tp = rng.uniform(0, 1, (n, 10)) > 0.4
+    conf = rng.uniform(0.05, 1, n).astype(np.float32)
+    pcls = rng.integers(0, 3, n).astype(np.float32)
+    tcls = rng.integers(0, 3, 40).astype(np.float32)
+    average_precision(tp, conf, pcls, tcls, plot_dir=str(tmp_path),
+                      names=["a", "b", "c"])
+    import os
+    for f in ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png"):
+        p = tmp_path / f
+        assert p.exists() and os.path.getsize(p) > 5000, f
