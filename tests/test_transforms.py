@@ -44,3 +44,19 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fold_input_scale_equivalent():
+    """conv(x/255, W) == conv(x, W/255): folded-scale params on raw-valued
+    input match the /255 pipeline bitwise-closely."""
+    import jax.numpy as jnp
+
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), TINY))
+    scaled = yolov11.fold_input_scale(params)
+    img = jnp.asarray(np.random.default_rng(0)
+                      .integers(0, 256, (2, 64, 64, 3), np.uint8))
+    a = yolov11.forward(params, img.astype(jnp.float32) / 255, TINY, train=False)
+    b = yolov11.forward(scaled, img.astype(jnp.float32), TINY, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-4)

@@ -315,6 +315,20 @@ def forward_nms(params, x, cfg: ModelConfig, **nms_kwargs):
 # ---------------------------------------------------------------------------
 
 
+def fold_input_scale(params, scale: float = 1.0 / 255.0):
+    """Fold the input normalization into the stem conv: conv(s·x, W) ==
+    conv(x, s·W), so callers can feed raw uint8-valued bf16 images and
+    skip the full-image /255 elementwise pass. Exact (BN already folded
+    or not — the conv is linear either way)."""
+    out = _copy_params(params)
+    stem = out["net"]["p1"][0]
+    key = "w" if "w" in stem else None
+    if key is None:
+        raise ValueError("fold_input_scale requires an unquantized stem")
+    stem[key] = stem[key] * scale
+    return out
+
+
 def fold_stem_space_to_depth(params):
     """Rewrite the stem's 3x3/s2 conv as an exactly-equivalent 2x2/s1
     conv over a space-to-depth(2) input (inference-graph transform; see
