@@ -98,3 +98,23 @@ def test_draw_detections(jpeg_dir):
     assert out.shape == img.shape and out.dtype == np.uint8
     assert (out != img).any()          # something was drawn
     np.testing.assert_array_equal(img, cv2.imread(jpeg_dir[0]))  # input untouched
+
+
+def test_detector_data_parallel(jpeg_dir):
+    """DP-sharded Detector equals the single-device one on the 8-device
+    virtual mesh."""
+    from tpu_yolo.parallel import DataParallel, make_mesh
+
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), TINY))
+    single = Detector(params, TINY, input_size=128, conf_thres=1e-6)
+    sharded = Detector(params, TINY, input_size=128, conf_thres=1e-6,
+                       dp=DataParallel(make_mesh(n_data=8)))
+    a = list(single.stream(jpeg_dir[:2] * 4, batch_size=8))
+    b = list(sharded.stream(jpeg_dir[:2] * 4, batch_size=8))
+    assert len(a) == len(b) == 8
+    for ra, rb in zip(a, b):
+        assert len(ra["boxes"]) == len(rb["boxes"])
+        if len(ra["boxes"]):
+            np.testing.assert_allclose(ra["boxes"], rb["boxes"],
+                                       rtol=1e-4, atol=0.2)

@@ -41,10 +41,14 @@ class Detector:
     def __init__(self, params, cfg: ModelConfig, input_size: int = 640,
                  conf_thres: float = 0.25, iou_thres: float = 0.65,
                  max_det: int = 300, compute_dtype=jnp.bfloat16,
-                 decode_threads: int = 8):
+                 decode_threads: int = 8, dp=None):
+        """`dp`: optional parallel.DataParallel — shards each batch over
+        the mesh data axis and replicates params, scaling serving across
+        every local chip (batch_size must divide the data-axis size)."""
         self.cfg = cfg
         self.input_size = input_size
-        self.params = params
+        self._dp = dp
+        self.params = dp.replicate(params) if dp is not None else params
         self._step = functools.partial(
             _predict, cfg=cfg, compute_dtype=compute_dtype,
             conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det)
@@ -129,7 +133,9 @@ class Detector:
     # -- inference --------------------------------------------------------
     def detect_batch(self, images_u8: np.ndarray):
         """(B, S, S, 3) uint8 RGB -> device result dict (letterbox coords)."""
-        return self._step(self.params, jnp.asarray(images_u8))
+        x = (self._dp.shard_batch(jnp.asarray(images_u8))
+             if self._dp is not None else jnp.asarray(images_u8))
+        return self._step(self.params, x)
 
     def stream(self, paths: Iterable[str], batch_size: int = 64,
                rescale: bool = True) -> Iterator[dict]:
