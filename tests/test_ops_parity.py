@@ -103,3 +103,32 @@ def test_fused_nms_matches_two_stage():
         a, b = np.asarray(two[key]), np.asarray(fused[key])
         assert np.abs(a - b).max() < tol, key
     assert (np.asarray(two["classes"]) == np.asarray(fused["classes"])).all()
+
+
+def test_nms_from_raw_matches_two_stage():
+    """The decode-after-top-k variant (nms_from_raw) == decode-all +
+    batched_nms on the same raw maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.core.config import ModelConfig
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.ops.nms import batched_nms, nms_from_raw
+    from tpu_yolo.ops.nn import Context
+
+    cfg = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                      csp=(False, True), num_classes=8)
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), cfg))
+    x = jnp.asarray(np.random.default_rng(1)
+                    .uniform(0, 1, (2, 96, 96, 3)).astype(np.float32))
+    raw = yolov11.forward_raw(params, x, cfg, Context(train=False))
+
+    two = batched_nms(yolov11.decode_predictions(raw, cfg, (96, 96)),
+                      conf_thres=1e-6)
+    fused = nms_from_raw(raw, cfg, (96, 96), conf_thres=1e-6)
+
+    assert (np.asarray(two["count"]) == np.asarray(fused["count"])).all()
+    np.testing.assert_allclose(np.asarray(two["boxes"]),
+                               np.asarray(fused["boxes"]), rtol=1e-4, atol=1e-3)
+    assert (np.asarray(two["classes"]) == np.asarray(fused["classes"])).all()
