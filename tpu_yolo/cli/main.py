@@ -80,6 +80,13 @@ def main():
     args = parse_args()
     setup_seed(args.seed)
 
+    # Honor JAX_PLATFORMS=cpu even where a site plugin force-registers a
+    # TPU backend and would silently override the env var (this is how
+    # tests/e2e drive the CLI on the virtual CPU mesh).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     if args.distributed:
         import jax
         jax.distributed.initialize()
@@ -112,7 +119,13 @@ def main():
         print_profile(yolov11.fold_batchnorm(params), cfg, args.input_size)
         del params
 
-        dp = DataParallel(make_mesh())
+        # Data axis must divide the per-host batch; use the largest
+        # device count that does (reference DDP likewise requires
+        # batch % world_size == 0, main.sh).
+        import math
+        n_data = math.gcd(args.batch_size // max(jax.process_count(), 1),
+                          len(jax.devices()))
+        dp = DataParallel(make_mesh(n_data=max(n_data, 1)))
         train(args, hyp, cfg, dp)
 
     if args.test:
@@ -131,10 +144,23 @@ def main():
             cache_path=os.path.join(args.data_dir, "val2017.cache.npy"))
         loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
                             num_workers=args.workers)
+
+        # Shard eval batches across local chips (as many as divide the
+        # batch; no-op on one chip).
+        import math
+
+        import jax
+
+        from tpu_yolo.parallel import DataParallel, make_mesh
+        n_data = max(math.gcd(args.val_batch_size, len(jax.devices())), 1)
+        dp = DataParallel(make_mesh(n_data=n_data))
+        params = dp.replicate(params)
+
         m_ap, m_ap50, recall, precision = evaluate(
             params, loader, cfg, args.input_size,
             plot_dir=args.save_dir if args.plot else None,
             names=[v for _, v in sorted(hyp["names"].items())],
+            device_put_fn=(dp.shard_batch if dp.num_data_shards > 1 else None),
             progress=True)
         print(f"mAP: {m_ap:.3f}  mAP@50: {m_ap50:.3f}  "
               f"Recall: {recall:.3f}  Precision: {precision:.3f}")
