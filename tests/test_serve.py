@@ -118,3 +118,30 @@ def test_detector_data_parallel(jpeg_dir):
         if len(ra["boxes"]):
             np.testing.assert_allclose(ra["boxes"], rb["boxes"],
                                        rtol=1e-4, atol=0.2)
+
+
+def test_detect_cli(jpeg_dir, tmp_path):
+    """tools/detect.py end-to-end: checkpoint -> annotated images."""
+    import os
+    import subprocess
+    import sys
+
+    from tpu_yolo.core.config import get_model_config
+    from tpu_yolo.io.checkpoint import save_checkpoint
+
+    params = yolov11.init_params(jax.random.PRNGKey(0), get_model_config("n"))
+    ckpt = str(tmp_path / "n.ckpt")
+    save_checkpoint(ckpt, {"params": jax.device_get(params),
+                           "ema_params": None, "epoch": 0, "best": 0,
+                           "meta": {"size": "n"}})
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "annotated"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "detect.py"),
+         "--weights", ckpt, "--size", "n", "--input-size", "128",
+         "--conf", "0.0001", "--out", str(out), *jpeg_dir[:2]],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "done:" in r.stdout
+    assert len(list(out.glob("*.jpg"))) == 2
