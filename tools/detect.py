@@ -32,6 +32,10 @@ def main():
                    help="quantize (calibrates on the inputs)")
     args = p.parse_args()
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # site plugin override
+
     import cv2
 
     from tpu_yolo.core.config import COCO_NAMES
