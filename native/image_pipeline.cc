@@ -268,7 +268,10 @@ int ip_load_batch(void* p, const char** paths, int n, uint8_t* out,
   Pipeline* pl = static_cast<Pipeline*>(p);
   const size_t stride = static_cast<size_t>(pl->size) * pl->size * 3;
   std::atomic<int> failures{0};
-  std::atomic<int> done{0};
+  // done is guarded by mu (not atomic): the increment and the notify
+  // happen under one lock so the waiter cannot pass the wait predicate
+  // (and destroy mu/cv on return) while a worker still holds them.
+  int done = 0;
   std::mutex mu;
   std::condition_variable cv;
 
@@ -301,14 +304,14 @@ int ip_load_batch(void* p, const char** paths, int n, uint8_t* out,
         metas[i * 5] = -1.0f;
         failures.fetch_add(1);
       }
-      if (done.fetch_add(1) + 1 == n) {
-        std::unique_lock<std::mutex> lk(mu);
-        cv.notify_one();
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (++done == n) cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
+  cv.wait(lk, [&] { return done == n; });
   return failures.load();
 }
 

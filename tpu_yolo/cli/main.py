@@ -119,12 +119,16 @@ def main():
         print_profile(yolov11.fold_batchnorm(params), cfg, args.input_size)
         del params
 
-        # Data axis must divide the per-host batch; use the largest
-        # device count that does (reference DDP likewise requires
-        # batch % world_size == 0, main.sh).
+        # Data axis sizing (reference DDP likewise requires
+        # batch % world_size == 0, main.sh). Single-host: largest local
+        # device count dividing the batch. Multi-host: each host feeds a
+        # per-host slice (mesh.py shard_batch assembles the global
+        # array), so the axis must be process_count * (a divisor of the
+        # per-host batch) to keep every host's rows on its own chips.
         import math
-        n_data = math.gcd(args.batch_size // max(jax.process_count(), 1),
-                          len(jax.devices()))
+        pc = max(jax.process_count(), 1)
+        per_host = max(args.batch_size // pc, 1)
+        n_data = pc * math.gcd(per_host, len(jax.local_devices()))
         dp = DataParallel(make_mesh(n_data=max(n_data, 1)))
         train(args, hyp, cfg, dp)
 

@@ -88,6 +88,8 @@ def fused_attention(q, k, v, scale: float, interpret: bool = False):
 
 
 def use_pallas_attention() -> bool:
-    """Fused kernel only on TPU-class backends; CPU tests and the
-    differentiable training path use the XLA einsum formulation."""
-    return jax.default_backend() not in ("cpu",)
+    """Fused kernel only on TPU backends (allowlist: a GPU or other
+    backend must fall back to the XLA einsum path rather than crash in
+    pltpu); CPU tests and the differentiable training path use the XLA
+    einsum formulation. The axon relay reports backend=="tpu"."""
+    return jax.default_backend() == "tpu"

@@ -113,8 +113,11 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
         return act(y + p["b"].astype(y.dtype))
 
     if ctx.train:
-        # Batch statistics and the normalize both run in f32 (a bf16-IO
-        # normalize was measured: no speedup, degraded loss trajectory).
+        # Batch statistics and the normalize both run in f32, and the
+        # activation is INTENTIONALLY returned as f32 (not cast back to
+        # x.dtype): downstream training compute is f32 from the first BN
+        # on. A bf16-IO normalize was measured (commit b613930): no
+        # speedup, degraded loss trajectory. step.py documents this.
         yf = y.astype(jnp.float32)
         mean = jnp.mean(yf, axis=(0, 1, 2))
         var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)

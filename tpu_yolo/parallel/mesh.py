@@ -66,8 +66,21 @@ class DataParallel:
         return self.mesh.shape["data"]
 
     def shard_batch(self, tree):
+        """Host array(s) -> batch-sharded global array(s).
+
+        Single-host: a plain device_put split over the data axis.
+        Multi-host (jax.process_count() > 1): each process passes its
+        *host-local* batch shard and the pieces are assembled into one
+        global array via jax.make_array_from_process_local_data, so the
+        shape a jitted step sees (and scales the loss by) is the true
+        global batch — not the per-host slice.
+        """
         s = batch_sharding(self.mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+        if jax.process_count() > 1:
+            put = lambda x: jax.make_array_from_process_local_data(s, np.asarray(x))
+        else:
+            put = lambda x: jax.device_put(x, s)
+        return jax.tree_util.tree_map(put, tree)
 
     def replicate(self, tree):
         s = replicated_sharding(self.mesh)

@@ -171,8 +171,15 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                 max_n = int(np.max(np.bincount(
                     np.asarray(targets["idx"], np.int64),
                     minlength=images.shape[0]))) if len(targets["idx"]) else 1
+                bucket = _gt_bucket(max(max_n, 1))
+                if n_hosts > 1:
+                    # Hosts must agree on the padded GT shape before the
+                    # per-host slices are assembled into one global array.
+                    from jax.experimental import multihost_utils
+                    bucket = int(np.max(multihost_utils.process_allgather(
+                        np.int32(bucket))))
                 gt = build_padded_targets(
-                    targets, images.shape[0], _gt_bucket(max(max_n, 1)),
+                    targets, images.shape[0], bucket,
                     (args.input_size, args.input_size))
 
                 state, metrics = train_step(
