@@ -27,9 +27,12 @@ def build_step(cfg, params, batch):
 
     # /255 is folded into the stem conv weights (exact; bit-identical
     # outputs, +2% measured) — the uint8 batch feeds the graph directly.
+    # ranking="approx" is the serving configuration (Detector default);
+    # eval uses exact top_k (ops/nms.py::_rank_candidates).
     @jax.jit
     def step(p, images):
-        return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg)
+        return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
+                                   ranking="approx")
 
     return step
 

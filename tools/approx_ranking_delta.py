@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Measure approx_max_k vs exact top_k NMS output agreement on TPU.
+
+Bounds the mAP risk of the serving path's approximate candidate ranking
+(ops/nms.py::_rank_candidates, recall_target=0.95): runs batched_nms with
+ranking="exact" and ranking="approx" on the same dense synthetic scenes
+at the eval conf threshold (0.001) and reports final-detection agreement.
+
+Correctness comparison only (no timings — isolated timings through the
+relay are untrustworthy, see CLAUDE.md). Results recorded in BENCH.md
+("approx vs exact ranking").
+
+Scene model: scores ~ realistic post-sigmoid distribution (most mass
+near 0, a per-image Poisson number of "objects" each spreading a
+high-score cluster over nearby anchors/classes), boxes on a grid with
+jitter so NMS has real suppression work to do.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_scene(rng, batch, a=8400, nc=80, objects_mean=40):
+    """Decoded (B, A, 4+nc) preds with dense near-threshold mass.
+
+    Background logits N(-9, 1.5) put ~3-8% of the A*nc=672k pairs above
+    conf 1e-3 (tens of thousands — denser than a trained head's typical
+    1-5k, i.e. a conservative stress case), without saturating max_det
+    with pure threshold-noise the way a hotter background would.
+    """
+    logits = rng.normal(-9.0, 1.5, (batch, a, nc)).astype(np.float32)
+    for b in range(batch):
+        for _ in range(rng.poisson(objects_mean)):
+            center = rng.integers(0, a)
+            cls = rng.integers(0, nc)
+            spread = rng.integers(3, 30)  # anchors covered by this object
+            idx = np.clip(center + rng.integers(-spread, spread, spread),
+                          0, a - 1)
+            logits[b, idx, cls] = rng.normal(2.0, 2.0, spread)  # conf ~0.9
+            # correlated neighbor classes (YOLO heads do this)
+            if nc > 1:
+                c2 = (cls + rng.integers(1, nc)) % nc
+                logits[b, idx[: spread // 2], c2] = rng.normal(
+                    -1.0, 2.0, spread // 2)
+    scores = 1.0 / (1.0 + np.exp(-logits))
+
+    xy = rng.uniform(40, 600, (batch, a, 2)).astype(np.float32)
+    wh = rng.uniform(8, 200, (batch, a, 2)).astype(np.float32)
+    return np.concatenate([xy, wh, scores], axis=-1)
+
+
+def match_rate(ex, ap, img, iou_thr=0.9, min_score=0.0):
+    """Fraction of exact detections with an approx match (same class,
+    IoU>=iou_thr, score within 1e-3), and vice versa."""
+    def dets(res):
+        n = int(res["count"][img])
+        b = np.asarray(res["boxes"][img][:n])
+        s = np.asarray(res["scores"][img][:n])
+        c = np.asarray(res["classes"][img][:n])
+        m = s >= min_score
+        return b[m], s[m], c[m]
+
+    be, se, ce = dets(ex)
+    ba, sa, ca = dets(ap)
+    if len(se) == 0:
+        return 1.0, 1.0, 0, 0
+    if len(sa) == 0:
+        return 0.0, 1.0, len(se), 0
+
+    x1 = np.maximum(be[:, None, 0], ba[None, :, 0])
+    y1 = np.maximum(be[:, None, 1], ba[None, :, 1])
+    x2 = np.minimum(be[:, None, 2], ba[None, :, 2])
+    y2 = np.minimum(be[:, None, 3], ba[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_e = (be[:, 2] - be[:, 0]) * (be[:, 3] - be[:, 1])
+    area_a = (ba[:, 2] - ba[:, 0]) * (ba[:, 3] - ba[:, 1])
+    iou = inter / (area_e[:, None] + area_a[None, :] - inter + 1e-12)
+    ok = (iou >= iou_thr) & (ce[:, None] == ca[None, :]) & (
+        np.abs(se[:, None] - sa[None, :]) < 1e-3)
+    fwd = float(ok.any(axis=1).mean())
+    bwd = float(ok.any(axis=0).mean())
+    return fwd, bwd, len(se), len(sa)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    from tpu_yolo.ops.nms import batched_nms
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for conf, tiers in ((0.001, (0.0, 0.05, 0.25)), (0.25, (0.0,))):
+        stats = {t: {"fwd": [], "bwd": [], "ne": 0, "na": 0} for t in tiers}
+        for trial in range(4):
+            preds = make_scene(rng, batch=16)
+            ex = jax.device_get(batched_nms(
+                preds, conf_thres=conf, ranking="exact"))
+            ap = jax.device_get(batched_nms(
+                preds, conf_thres=conf, ranking="approx"))
+            for img in range(preds.shape[0]):
+                for t in tiers:
+                    f, w, ne, na = match_rate(ex, ap, img, min_score=t)
+                    s = stats[t]
+                    s["fwd"].append(f)
+                    s["bwd"].append(w)
+                    s["ne"] += ne
+                    s["na"] += na
+        for t in tiers:
+            s = stats[t]
+            rows.append({
+                "conf": conf, "min_score": t,
+                "exact_dets": s["ne"], "approx_dets": s["na"],
+                "recall_of_exact": round(float(np.mean(s["fwd"])), 4),
+                "precision_vs_exact": round(float(np.mean(s["bwd"])), 4),
+                "backend": jax.default_backend(),
+            })
+            print(json.dumps(rows[-1]))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

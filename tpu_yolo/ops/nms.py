@@ -40,16 +40,44 @@ from tpu_yolo.ops.boxes import xywh_to_xyxy
 MAX_WH = 7680.0  # class-offset spacing (reference util.py:124)
 
 
-@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms"))
+def _rank_candidates(flat, k: int, ranking: str):
+    """Top-K candidate ranking over the flattened (B, A*nc) score matrix.
+
+    Candidate ranking is the NMS cost center (full top_k over ~672k
+    pairs is an O(n log n) device sort, ~83 ms at bs64 on v5e).
+
+    ranking="exact"  — jax.lax.top_k: bit-exact candidate set; the
+        default, so the eval/parity path (reference utils/util.py:123-169
+        semantics) never depends on an approximation.
+    ranking="approx" — TPU's bucketed jax.lax.approx_max_k
+        (recall_target=0.95): the opt-in serving knob (~3.6x NMS-path
+        throughput at bs256, BENCH.md). Misses are confined to
+        near-threshold candidates; measured final-detection agreement vs
+        exact is recorded in BENCH.md ("approx vs exact ranking").
+        Falls back to exact off-TPU (approx_max_k only pays there) and
+        for small candidate sets.
+    """
+    if ranking not in ("exact", "approx"):
+        raise ValueError(f"ranking must be 'exact' or 'approx': {ranking!r}")
+    n = flat.shape[-1]
+    if ranking == "approx" and n > 4 * k and jax.default_backend() == "tpu":
+        return jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    return jax.lax.top_k(flat, k)  # (B, K) desc
+
+
+@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking"))
 def batched_nms(preds,
                 conf_thres: float = 0.001,
                 iou_thres: float = 0.65,
                 max_det: int = 300,
-                max_nms: int = 2048):
+                max_nms: int = 2048,
+                ranking: str = "exact"):
     """NMS over decoded predictions.
 
     Args:
       preds: (B, A, 4+nc) — pixel xywh boxes + per-class scores in [0,1].
+      ranking: "exact" (default, parity path) | "approx" (serving knob —
+        see _rank_candidates).
     Returns dict of:
       boxes:  (B, max_det, 4) xyxy pixels
       scores: (B, max_det)
@@ -69,16 +97,7 @@ def batched_nms(preds,
     scores_all = preds[..., 4:]
 
     flat = scores_all.reshape(b, a * nc)
-    # Candidate ranking is the NMS cost center (full top_k over A*nc ~672k
-    # pairs is an O(n log n) device sort, ~83 ms at bs64 on v5e). TPU's
-    # bucketed approx_max_k recovers >=95% of the true top-K at a
-    # fraction of the cost; misses are confined to near-threshold
-    # candidates. Exact top_k is kept for small candidate sets, which
-    # also keeps golden-parity tests bit-exact.
-    if a * nc > 4 * k and jax.default_backend() != "cpu":
-        top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
-    else:
-        top_scores, top_idx = jax.lax.top_k(flat, k)      # (B, K) desc
+    top_scores, top_idx = _rank_candidates(flat, k, ranking)
     anchor_idx = top_idx // nc
     cls_idx = (top_idx % nc).astype(jnp.int32)
 
@@ -96,7 +115,8 @@ def nms_from_raw(raw_maps, cfg, input_hw,
                  conf_thres: float = 0.001,
                  iou_thres: float = 0.65,
                  max_det: int = 300,
-                 max_nms: int = 2048):
+                 max_nms: int = 2048,
+                 ranking: str = "exact"):
     """Fused decode+NMS from raw per-level head maps.
 
     Skips materializing the full decoded (B, A, 4+nc) float tensor of
@@ -119,10 +139,7 @@ def nms_from_raw(raw_maps, cfg, input_hw,
 
     scores = jax.nn.sigmoid(cls.astype(jnp.float32)).reshape(b, a * nc)
     k = min(max_nms, a * nc, 8192)
-    if a * nc > 4 * k and jax.default_backend() != "cpu":
-        top_scores, top_idx = jax.lax.approx_max_k(scores, k, recall_target=0.95)
-    else:
-        top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_scores, top_idx = _rank_candidates(scores, k, ranking)
     anchor_idx = top_idx // nc
     cls_idx = (top_idx % nc).astype(jnp.int32)
 

@@ -41,17 +41,24 @@ class Detector:
     def __init__(self, params, cfg: ModelConfig, input_size: int = 640,
                  conf_thres: float = 0.25, iou_thres: float = 0.65,
                  max_det: int = 300, compute_dtype=jnp.bfloat16,
-                 decode_threads: int = 8, dp=None):
+                 decode_threads: int = 8, dp=None,
+                 ranking: str = "approx"):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
-        every local chip (batch_size must divide the data-axis size)."""
+        every local chip (batch_size must divide the data-axis size).
+
+        `ranking`: NMS candidate ranking. Serving defaults to "approx"
+        (TPU approx_max_k, the measured-throughput path); pass "exact"
+        for bit-exact reference-parity ranking — the eval harness's
+        default (ops/nms.py::_rank_candidates)."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
         self.params = dp.replicate(params) if dp is not None else params
         self._step = functools.partial(
             _predict, cfg=cfg, compute_dtype=compute_dtype,
-            conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det)
+            conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+            ranking=ranking)
         self._pipe = None
         self._decode_threads = decode_threads
 
@@ -182,9 +189,10 @@ class Detector:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
                                              "conf_thres", "iou_thres",
-                                             "max_det"))
+                                             "max_det", "ranking"))
 def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
-             max_det):
+             max_det, ranking="approx"):
     x = images.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
-                               iou_thres=iou_thres, max_det=max_det)
+                               iou_thres=iou_thres, max_det=max_det,
+                               ranking=ranking)
