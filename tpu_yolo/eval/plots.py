@@ -1,8 +1,12 @@
 """Evaluation curve plots: PR, F1, Precision, Recall PNGs.
 
-Counterpart of reference utils/util.py:180-222 (plot_pr_curve,
-plot_curve), emitted by average_precision when a plot dir is given
-(reference util.py:289-292).
+Output-contract counterpart of reference utils/util.py:180-222
+(plot_pr_curve / plot_curve, called from average_precision,
+util.py:289-292): four PNGs — PR_curve, F1_curve, P_curve, R_curve —
+with per-class traces (when the class list is small enough to read) and
+an emphasized all-class aggregate. The rendering itself is our own: one
+generic renderer driven by a small spec, per-class legends capped at
+MAX_LEGEND_CLASSES, and the aggregate annotated with its peak.
 """
 from __future__ import annotations
 
@@ -10,60 +14,80 @@ import os
 
 import numpy as np
 
+# Above this many classes a per-class legend is unreadable; draw the
+# individual traces as a faint background instead.
+MAX_LEGEND_CLASSES = 20
 
-def _setup():
+
+def _render(out_path, x, per_class, aggregate, *, xlabel, ylabel,
+            class_labels, aggregate_label):
+    """One curve figure: faint-or-labelled per-class traces + bold mean.
+
+    per_class: (C, N) rows over the x grid (C may be 0);
+    class_labels: legend text per row, or None for unlabelled traces.
+    """
     import matplotlib
     matplotlib.use("Agg")
-    from matplotlib import pyplot
-    return pyplot
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 5.5))
+    ax = fig.add_subplot()
+    for i, row in enumerate(per_class):
+        if class_labels is not None:
+            ax.plot(x, row, lw=0.8, alpha=0.8, label=class_labels[i])
+        else:
+            ax.plot(x, row, lw=0.6, alpha=0.35, color="0.5")
+    if aggregate is not None:
+        ax.plot(x, aggregate, lw=2.5, color="tab:red", label=aggregate_label)
+
+    ax.set(xlabel=xlabel, ylabel=ylabel, xlim=(0, 1), ylim=(0, 1.02))
+    ax.grid(alpha=0.25)
+    if class_labels is not None or aggregate is not None:
+        ax.legend(loc="center left", bbox_to_anchor=(1.01, 0.5),
+                  fontsize="small")
+    fig.savefig(out_path, dpi=160, bbox_inches="tight")
+    plt.close(fig)
+
+
+def _labels_or_none(names, values=None, fmt="{name} {v:.3f}"):
+    """Per-class legend labels, or None when there are too many to show."""
+    if not 0 < len(names) <= MAX_LEGEND_CLASSES:
+        return None
+    if values is None:
+        return [str(n) for n in names]
+    return [fmt.format(name=n, v=v) for n, v in zip(names, values)]
 
 
 def plot_pr_curve(px, pr_curves, ap, names, out_path):
-    pyplot = _setup()
-    fig, ax = pyplot.subplots(1, 1, figsize=(9, 6), tight_layout=True)
-    py = np.stack(pr_curves, axis=1) if pr_curves else np.zeros((len(px), 0))
-    if 0 < len(names) < 21:
-        for i, y in enumerate(py.T):
-            ax.plot(px, y, linewidth=1, label=f"{names[i]} {ap[i, 0]:.3f}")
-    else:
-        ax.plot(px, py, linewidth=1, color="grey")
-    if py.shape[1]:
-        ax.plot(px, py.mean(1), linewidth=3, color="blue",
-                label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
-    ax.set_xlabel("Recall")
-    ax.set_ylabel("Precision")
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1)
-    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
-    fig.savefig(out_path, dpi=250)
-    pyplot.close(fig)
+    """Precision-recall traces per class + mean, annotated with AP@0.5."""
+    py = (np.stack(pr_curves, axis=0) if len(pr_curves)
+          else np.zeros((0, len(px))))
+    mean = py.mean(axis=0) if py.shape[0] else None
+    agg = (f"all classes {ap[:, 0].mean():.3f} mAP@0.5"
+           if py.shape[0] else None)
+    _render(out_path, px, py, mean, xlabel="Recall", ylabel="Precision",
+            class_labels=_labels_or_none(names, ap[:, 0] if len(names) else None),
+            aggregate_label=agg)
 
 
 def plot_curve(px, py, names, out_path, xlabel="Confidence", ylabel="Metric"):
+    """Per-class metric-vs-confidence traces + smoothed mean with peak."""
     from tpu_yolo.eval.metrics import smooth
 
-    pyplot = _setup()
-    fig, ax = pyplot.subplots(1, 1, figsize=(9, 6), tight_layout=True)
-    if 0 < len(names) < 21:
-        for i, y in enumerate(py):
-            ax.plot(px, y, linewidth=1, label=f"{names[i]}")
-    else:
-        ax.plot(px, py.T, linewidth=1, color="grey")
-    y = smooth(py.mean(0), 0.05)
-    ax.plot(px, y, linewidth=3, color="blue",
-            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
-    ax.set_xlabel(xlabel)
-    ax.set_ylabel(ylabel)
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1)
-    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
-    fig.savefig(out_path, dpi=250)
-    pyplot.close(fig)
+    mean = smooth(py.mean(axis=0), 0.05)
+    peak = int(np.argmax(mean))
+    _render(out_path, px, py, mean, xlabel=xlabel, ylabel=ylabel,
+            class_labels=_labels_or_none(names),
+            aggregate_label=(f"all classes {mean[peak]:.2f} "
+                             f"at {px[peak]:.3f}"))
 
 
 def plot_all_curves(px, pr_curves, ap, p_curve, r_curve, f1, names, plot_dir):
     os.makedirs(plot_dir, exist_ok=True)
-    plot_pr_curve(px, pr_curves, ap, names, os.path.join(plot_dir, "PR_curve.png"))
-    plot_curve(px, f1, names, os.path.join(plot_dir, "F1_curve.png"), ylabel="F1")
-    plot_curve(px, p_curve, names, os.path.join(plot_dir, "P_curve.png"), ylabel="Precision")
-    plot_curve(px, r_curve, names, os.path.join(plot_dir, "R_curve.png"), ylabel="Recall")
+    plot_pr_curve(px, pr_curves, ap, names,
+                  os.path.join(plot_dir, "PR_curve.png"))
+    for data, ylabel, fname in ((f1, "F1", "F1_curve.png"),
+                                (p_curve, "Precision", "P_curve.png"),
+                                (r_curve, "Recall", "R_curve.png")):
+        plot_curve(px, data, names, os.path.join(plot_dir, fname),
+                   ylabel=ylabel)
