@@ -43,8 +43,12 @@ def test_overfit_finds_the_box():
     xgt = jnp.asarray(gt)
     hyp = jnp.asarray([7.5, 0.5, 1.5], jnp.float32)
 
+    # 200 steps: the bf16 mixed-precision path (reference-AMP parity,
+    # step.py) reaches confident detections ~40 steps later than full
+    # f32 on this 4-image overfit; a sign-flip class of bug still never
+    # converges, which is what this test exists to catch.
     losses = []
-    for step in range(120):
+    for step in range(200):
         lr = 0.002 if step < 20 else 0.01   # short warmup
         state, m = train_step(state, ximg, xgt, lr, hyp, 0.0, 0.9,
                               cfg=TINY, accumulate=1, apply_update=True)

@@ -113,11 +113,13 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
         return act(y + p["b"].astype(y.dtype))
 
     if ctx.train:
-        # Batch statistics and the normalize both run in f32, and the
-        # activation is INTENTIONALLY returned as f32 (not cast back to
-        # x.dtype): downstream training compute is f32 from the first BN
-        # on. A bf16-IO normalize was measured (commit b613930): no
-        # speedup, degraded loss trajectory. step.py documents this.
+        # Batch statistics and the normalize run in f32; the activation
+        # is cast back to x.dtype so downstream convs (fwd AND bwd) stay
+        # on the bf16 MXU path — the reference's CUDA-AMP-equivalent
+        # (main.py:88-94). Re-measured round 2 via tools/train_bench.py
+        # (distinct-input batches, relay-elision-safe): see BENCH.md
+        # training section. Round 1's "bf16-IO BN: no gain" reading
+        # predates that harness and is superseded.
         yf = y.astype(jnp.float32)
         mean = jnp.mean(yf, axis=(0, 1, 2))
         var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
@@ -130,7 +132,7 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
             (1.0 - BN_MOMENTUM) * p["var"] + BN_MOMENTUM * unbiased,
         )
         scale = lax.rsqrt(var + BN_EPS) * p["gamma"]
-        return act(yf * scale + (p["beta"] - mean * scale))
+        return act(yf * scale + (p["beta"] - mean * scale)).astype(x.dtype)
 
     scale = p["gamma"] * lax.rsqrt(p["var"] + BN_EPS)
     bias = p["beta"] - p["mean"] * scale

@@ -58,10 +58,20 @@ def build_padded_targets(targets: dict, batch_size: int, max_gt: int,
     return out
 
 
+# Memory governor for the assigner's dense (B, N, A) planes: above this
+# many elements per plane (f32: 256 MB; ~6 planes live inside one fused
+# assign), the batch is processed in image chunks via lax.map — identical
+# results (the assignment is per-image), bounded peak HBM. 64M elements
+# keeps bs64/N64/A8400 (34M) in the fast unchunked path; bs128/N512
+# (550M, the round-1 memory cliff, PARITY.md:90-92) runs chunked.
+ASSIGN_ELEM_BUDGET = 64 * 1024 * 1024
+
+
 def task_aligned_assigner(pd_scores, pd_bboxes, anchors_px, gt_labels,
                           gt_bboxes, mask_gt, *, num_classes: int,
                           top_k: int = 10, alpha: float = 0.5,
-                          beta: float = 6.0, eps: float = 1e-9):
+                          beta: float = 6.0, eps: float = 1e-9,
+                          elem_budget: int | None = None):
     """Assign GT boxes to anchors by task-aligned metric.
 
     Args:
@@ -70,11 +80,29 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anchors_px, gt_labels,
       anchors_px: (A, 2) anchor centers, pixels.
       gt_labels: (B, N, 1); gt_bboxes: (B, N, 4) xyxy pixels (zero rows pad);
       mask_gt: (B, N, 1) 1.0 for real boxes.
+      elem_budget: override ASSIGN_ELEM_BUDGET (tests force tiny values
+        to exercise the chunked path on small shapes).
     Returns:
       target_bboxes (B, A, 4), target_scores (B, A, nc), fg_mask (B, A) bool.
     """
     b, n, _ = gt_bboxes.shape
     a = anchors_px.shape[0]
+
+    budget = ASSIGN_ELEM_BUDGET if elem_budget is None else elem_budget
+    if b * n * a > budget:
+        chunk = max(min(budget // (n * a), b), 1)
+        while b % chunk:  # largest divisor of b under the budget
+            chunk -= 1
+        kw = dict(num_classes=num_classes, top_k=top_k, alpha=alpha,
+                  beta=beta, eps=eps, elem_budget=b * n * a)  # no re-chunk
+        split = lambda t: t.reshape(b // chunk, chunk, *t.shape[1:])
+        outs = jax.lax.map(
+            lambda c: task_aligned_assigner(c[0], c[1], anchors_px,
+                                            c[2], c[3], c[4], **kw),
+            (split(pd_scores), split(pd_bboxes), split(gt_labels),
+             split(gt_bboxes), split(mask_gt)))
+        return jax.tree_util.tree_map(
+            lambda t: t.reshape(b, *t.shape[2:]), outs)
 
     # anchors strictly inside each gt box
     lt = gt_bboxes[:, :, None, :2]

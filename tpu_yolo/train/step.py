@@ -4,14 +4,16 @@ One XLA program per (apply/accumulate) variant replaces the reference's
 per-step Python sequence (main.py:120-169: autocast forward, loss scale,
 backward with DDP all-reduce hooks, optimizer step, EMA update):
 
-  * input normalization and the stem run in bfloat16; from the first
-    train-mode BatchNorm on, activations are float32 BY DESIGN — the
-    train BN branch normalizes in f32 and deliberately does not cast
-    back (ops/nn.py conv_bn), because a bf16-IO BN was measured
-    (commit b613930) to give no throughput gain while degrading the
-    loss trajectory. No GradScaler needed either way — the reference's
-    CUDA AMP + GradScaler (main.py:88-94/152-163) exists solely because
-    fp16 underflows; bf16/f32 do not;
+  * compute dtype is bfloat16 end-to-end (reference-AMP parity,
+    main.py:88-94): BatchNorm statistics and the normalize run in f32
+    but the activation is cast back to bf16 (ops/nn.py conv_bn), so
+    every conv — forward and backward — stays on the bf16 MXU path.
+    Re-measured round 2 with tools/train_bench.py (relay-safe distinct
+    inputs): 292 vs 241 img/s at bs64 (+21%); convergence verified
+    (tests/test_convergence.py). Full f32 remains available via
+    compute_dtype=jnp.float32. No GradScaler needed — the reference's
+    CUDA AMP + GradScaler (main.py:152-163) exists solely because fp16
+    underflows; bf16 does not;
   * the batch arrives sharded over the mesh `data` axis and params are
     replicated, so jax.grad's reduction over the batch compiles into the
     gradient psum DDP does with NCCL (reference main.py:344);
