@@ -260,6 +260,77 @@ int ip_load_one(void* p, const uint8_t* bytes, int64_t len, uint8_t* out,
   return 0;
 }
 
+// Decode a batch of n files in parallel into a RAW top-left-anchored
+// staging buffer `out` (n*stage*stage*3) WITHOUT letterboxing — the
+// device-side letterbox path (tpu_yolo/ops/letterbox.py): the geometry
+// runs on the TPU next to the model; the host only decodes. Images
+// whose long side exceeds `stage` are pre-shrunk (bilinear) so the long
+// side == stage. dims is (n, 4): [staged_h, staged_w, orig_h, orig_w];
+// failed slots are zeroed with dims[0] = -1. Returns failure count.
+int ip_load_batch_raw(void* p, const char** paths, int n, int stage,
+                      uint8_t* out, float* dims) {
+  Pipeline* pl = static_cast<Pipeline*>(p);
+  const size_t stride = static_cast<size_t>(stage) * stage * 3;
+  std::atomic<int> failures{0};
+  int done = 0;
+  std::mutex mu;
+  std::condition_variable cv;
+
+  for (int i = 0; i < n; ++i) {
+    pl->pool.Submit([&, i] {
+      bool ok = false;
+      std::vector<uint8_t> rgb;
+      int w = 0, h = 0;
+      FILE* f = fopen(paths[i], "rb");
+      if (f) {
+        fseek(f, 0, SEEK_END);
+        long sz = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        std::vector<uint8_t> buf(sz);
+        if (fread(buf.data(), 1, sz, f) == static_cast<size_t>(sz))
+          ok = decode_jpeg_rgb(buf.data(), sz, &rgb, &w, &h);
+        fclose(f);
+      }
+      uint8_t* slot = out + stride * i;
+      std::memset(slot, 0, stride);
+      if (ok) {
+        int sh = h, sw = w;
+        std::vector<uint8_t> shrunk;
+        const uint8_t* src = rgb.data();
+        if (h > stage || w > stage) {
+          const float d = static_cast<float>(stage) / (h > w ? h : w);
+          sh = static_cast<int>(std::lroundf(h * d));
+          sw = static_cast<int>(std::lroundf(w * d));
+          if (sh > stage) sh = stage;
+          if (sw > stage) sw = stage;
+          shrunk.resize(static_cast<size_t>(sw) * sh * 3);
+          resize_bilinear_rgb(rgb.data(), w, h, shrunk.data(), sw, sh);
+          src = shrunk.data();
+        }
+        for (int y = 0; y < sh; ++y)
+          std::memcpy(slot + static_cast<size_t>(y) * stage * 3,
+                      src + static_cast<size_t>(y) * sw * 3,
+                      static_cast<size_t>(sw) * 3);
+        dims[i * 4 + 0] = static_cast<float>(sh);
+        dims[i * 4 + 1] = static_cast<float>(sw);
+        dims[i * 4 + 2] = static_cast<float>(h);
+        dims[i * 4 + 3] = static_cast<float>(w);
+      } else {
+        dims[i * 4 + 0] = -1.0f;
+        dims[i * 4 + 1] = dims[i * 4 + 2] = dims[i * 4 + 3] = 0.0f;
+        failures.fetch_add(1);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (++done == n) cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done == n; });
+  return failures.load();
+}
+
 // Decode+letterbox a batch of n files in parallel into `out`
 // (n*size*size*3) and metas (n*5). paths is an array of n C strings.
 // Returns number of failures (failed slots are zeroed, meta[0]=-1).

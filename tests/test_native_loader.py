@@ -79,3 +79,41 @@ def test_batch_api_and_failures(jpegs, tmp_path):
     with open(paths[0], "rb") as f:
         one, _ = pipe.load_one(f.read())
     np.testing.assert_array_equal(batch[0], one)
+
+
+def test_load_batch_raw_staging(jpegs):
+    """Raw staging path: decode only (bit-identical to cv2's libjpeg for
+    images that fit the stage), top-left anchored, dims recorded; larger
+    images pre-shrunk so the long side == stage."""
+    import cv2
+
+    from tpu_yolo.data.native_loader import NativePipeline
+
+    pipe = NativePipeline(640, threads=4, allow_upscale=True)
+    paths, _ = jpegs
+    stage = 512
+    staged, dims, nfail = pipe.load_batch_raw(paths, stage)
+    assert nfail == 0
+    assert staged.shape == (len(paths), stage, stage, 3)
+    for i, p in enumerate(paths):
+        ref = cv2.imread(p)[:, :, ::-1]
+        h, w = ref.shape[:2]
+        sh, sw, oh, ow = dims[i].astype(int)
+        assert (oh, ow) == (h, w)
+        if max(h, w) <= stage:
+            assert (sh, sw) == (h, w)
+            diff = np.abs(staged[i, :h, :w].astype(np.int16)
+                          - ref.astype(np.int16))
+            # decode-only: same tolerance as test_decode_matches_opencv
+            # (libjpeg vs cv2's jpeg backend may differ in IDCT rounding)
+            assert diff.mean() < 1.5 and np.quantile(diff, 0.99) <= 6
+        else:
+            d = stage / max(h, w)
+            assert sh in (round(h * d), stage) and sw in (round(w * d), stage)
+            exp = cv2.resize(ref, (sw, sh), interpolation=cv2.INTER_LINEAR)
+            diff = np.abs(staged[i, :sh, :sw].astype(np.int16)
+                          - exp.astype(np.int16))
+            assert diff.mean() < 1.5 and np.quantile(diff, 0.99) <= 6
+        # outside the placed region: zero
+        assert (staged[i, sh:, :] == 0).all()
+        assert (staged[i, :, sw:] == 0).all()

@@ -145,3 +145,39 @@ def test_detect_cli(jpeg_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "done:" in r.stdout
     assert len(list(out.glob("*.jpg"))) == 2
+
+
+def test_device_letterbox_stream(jpeg_dir, tmp_path):
+    """device_letterbox=True: host ships raw staged uint8; the letterbox
+    runs inside the jitted program (ops/letterbox.py). Boxes come back
+    in original-image pixel space and decode failures are per-slot."""
+    bad = str(tmp_path / "bad2.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"nope")
+    det = _tiny_detector(device_letterbox=True, stage_size=320)
+    paths = jpeg_dir + [bad]
+    results = list(det.stream(paths, batch_size=2, rescale=True))
+    assert [r["path"] for r in results] == paths
+    sizes = [(640, 480), (240, 320), (640, 640)]
+    for r, (w, h) in zip(results, sizes):
+        assert "error" not in r
+        if len(r["boxes"]):
+            assert r["boxes"][:, [0, 2]].max() <= w + 1e-3
+            assert r["boxes"][:, [1, 3]].max() <= h + 1e-3
+            assert r["boxes"].min() >= -1e-3
+    assert results[-1].get("error") == "decode"
+
+
+def test_device_letterbox_matches_host_path(jpeg_dir):
+    """The device-letterbox detector finds essentially the same top
+    detections as the host-letterbox one (same weights; geometry
+    contract shared, interpolation differs by <2 LSB)."""
+    host = _tiny_detector()
+    dev = _tiny_detector(device_letterbox=True, stage_size=320)
+    a = list(host.stream(jpeg_dir[1:2], batch_size=1))[0]
+    b = list(dev.stream(jpeg_dir[1:2], batch_size=1))[0]
+    assert len(a["boxes"]) and len(b["boxes"])
+    # top-scoring box agrees to a couple of pixels
+    ia, ib = int(np.argmax(a["scores"])), int(np.argmax(b["scores"]))
+    np.testing.assert_allclose(a["boxes"][ia], b["boxes"][ib], atol=4.0)
+    assert a["classes"][ia] == b["classes"][ib]

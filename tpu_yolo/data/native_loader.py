@@ -48,6 +48,11 @@ def _load():
     lib.ip_load_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float)]
+    lib.ip_load_batch_raw.restype = ctypes.c_int
+    lib.ip_load_batch_raw.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return lib
 
@@ -102,3 +107,19 @@ class NativePipeline:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             metas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out, metas, int(nfail)
+
+    def load_batch_raw(self, paths: list[str], stage: int):
+        """Parallel decode into a RAW (N, stage, stage, 3) top-left
+        staging buffer (no letterbox — ops/letterbox.py runs it on
+        device). Images longer than `stage` are pre-shrunk to fit.
+        Returns (buffer, dims (N,4) [staged_h, staged_w, orig_h, orig_w],
+        n_failures); failed slots zeroed with dims[i,0] == -1."""
+        n = len(paths)
+        out = np.empty((n, stage, stage, 3), np.uint8)
+        dims = np.empty((n, 4), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        nfail = self._lib.ip_load_batch_raw(
+            self._h, arr, n, stage,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out, dims, int(nfail)

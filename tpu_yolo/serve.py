@@ -42,7 +42,8 @@ class Detector:
                  conf_thres: float = 0.25, iou_thres: float = 0.65,
                  max_det: int = 300, compute_dtype=jnp.bfloat16,
                  decode_threads: int = 8, dp=None,
-                 ranking: str = "approx"):
+                 ranking: str = "approx",
+                 device_letterbox: bool = False, stage_size: int = 960):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
         every local chip (batch_size must divide the data-axis size).
@@ -50,15 +51,28 @@ class Detector:
         `ranking`: NMS candidate ranking. Serving defaults to "approx"
         (TPU approx_max_k, the measured-throughput path); pass "exact"
         for bit-exact reference-parity ranking — the eval harness's
-        default (ops/nms.py::_rank_candidates)."""
+        default (ops/nms.py::_rank_candidates).
+
+        `device_letterbox`: host only decodes (raw uint8, top-left in a
+        (stage_size, stage_size) staging buffer); the aspect-preserving
+        resize + pad runs on device in the jitted program
+        (ops/letterbox.py) — SURVEY.md §7 step 3's native-replacement
+        kernel. Originals longer than stage_size are pre-shrunk on host
+        to fit (ratio folded into the returned boxes)."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
         self.params = dp.replicate(params) if dp is not None else params
+        self.device_letterbox = device_letterbox
+        self.stage_size = stage_size
         self._step = functools.partial(
             _predict, cfg=cfg, compute_dtype=compute_dtype,
             conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
             ranking=ranking)
+        self._step_staged = functools.partial(
+            _predict_staged, cfg=cfg, out_size=input_size,
+            compute_dtype=compute_dtype, conf_thres=conf_thres,
+            iou_thres=iou_thres, max_det=max_det, ranking=ranking)
         self._pipe = None
         self._decode_threads = decode_threads
 
@@ -137,6 +151,66 @@ class Detector:
             fails = sum(pool.map(decode, range(n)))
         return out, metas, fails
 
+    def _decode_batch_raw(self, paths: list[str]):
+        """Raw decode into the staging buffer for the device-letterbox
+        path. Returns (staged (N,St,St,3) uint8 RGB, dims (N,4)
+        [staged_h, staged_w, orig_h, orig_w], n_failures)."""
+        from tpu_yolo.data import native_loader
+
+        st = self.stage_size
+        if native_loader.available():
+            if self._pipe is None:
+                self._pipe = native_loader.NativePipeline(
+                    self.input_size, threads=self._decode_threads,
+                    allow_upscale=True)
+            return self._pipe.load_batch_raw(paths, st)
+
+        import cv2
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(paths)
+        out = np.zeros((n, st, st, 3), np.uint8)
+        dims = np.zeros((n, 4), np.float32)
+
+        def decode(i):
+            try:
+                img = cv2.imread(paths[i])
+                if img is None:
+                    raise ValueError(paths[i])
+                h, w = img.shape[:2]
+                sh, sw = h, w
+                if max(h, w) > st:
+                    d = st / max(h, w)
+                    sw, sh = min(int(round(w * d)), st), min(int(round(h * d)), st)
+                    img = cv2.resize(img, (sw, sh),
+                                     interpolation=cv2.INTER_LINEAR)
+                out[i, :sh, :sw] = img[:, :, ::-1]
+                dims[i] = (sh, sw, h, w)
+                return 0
+            except Exception:
+                dims[i, 0] = -1
+                return 1
+
+        with ThreadPoolExecutor(max(self._decode_threads, 1)) as pool:
+            fails = sum(pool.map(decode, range(n)))
+        return out, dims, fails
+
+    @staticmethod
+    def _metas_from_dims(dims: np.ndarray, out_size: int) -> np.ndarray:
+        """Host mirror of the device letterbox geometry, combined with
+        the host pre-shrink: (N,4) dims -> (N,5) [r_total, pad_w, pad_h,
+        orig_w, orig_h] in the _emit/native-loader meta contract."""
+        metas = np.full((len(dims), 5), -1, np.float32)
+        for i, (sh, sw, oh, ow) in enumerate(np.asarray(dims, np.float32)):
+            if sh < 0:
+                continue
+            r = min(out_size / sh, out_size / sw)
+            new_w, new_h = round(sw * r), round(sh * r)
+            d = sw / ow if ow else 1.0
+            metas[i] = (r * d, (out_size - new_w) / 2,
+                        (out_size - new_h) / 2, ow, oh)
+        return metas
+
     # -- inference --------------------------------------------------------
     def detect_batch(self, images_u8: np.ndarray):
         """(B, S, S, 3) uint8 RGB -> device result dict (letterbox coords)."""
@@ -155,11 +229,25 @@ class Detector:
 
         for chunk in batches:
             pad = batch_size - len(chunk)
-            imgs, metas, _ = self._decode_batch(chunk)
-            if pad:
-                imgs = np.concatenate(
-                    [imgs, np.zeros((pad, *imgs.shape[1:]), np.uint8)])
-            res = self.detect_batch(imgs)  # async dispatch; don't block
+            if self.device_letterbox:
+                imgs, dims, _ = self._decode_batch_raw(chunk)
+                metas = self._metas_from_dims(dims, self.input_size)
+                hw = np.maximum(dims[:, :2], 1.0)
+                if pad:
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad, *imgs.shape[1:]), np.uint8)])
+                    hw = np.concatenate([hw, np.ones((pad, 2), np.float32)])
+                x, xhw = jnp.asarray(imgs), jnp.asarray(hw)
+                if self._dp is not None:
+                    x = self._dp.shard_batch(x)
+                    xhw = self._dp.shard_batch(xhw)
+                res = self._step_staged(self.params, x, xhw)
+            else:
+                imgs, metas, _ = self._decode_batch(chunk)
+                if pad:
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad, *imgs.shape[1:]), np.uint8)])
+                res = self.detect_batch(imgs)  # async dispatch; don't block
             if pending is not None:
                 yield from self._emit(*pending, rescale)
             pending = (res, metas, chunk)
@@ -193,6 +281,25 @@ class Detector:
 def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
              max_det, ranking="approx"):
     x = images.astype(compute_dtype) / compute_dtype(255)
+    return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
+                               iou_thres=iou_thres, max_det=max_det,
+                               ranking=ranking)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "out_size",
+                                             "compute_dtype", "conf_thres",
+                                             "iou_thres", "max_det",
+                                             "ranking"))
+def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
+                    conf_thres, iou_thres, max_det, ranking="approx"):
+    """Device-letterbox serving program: raw staged uint8 -> letterbox
+    (ops/letterbox.py, single-resize serving geometry) -> normalize ->
+    forward -> NMS, one jitted graph."""
+    from tpu_yolo.ops.letterbox import letterbox_batch
+
+    boxed, _ = letterbox_batch(staged, hw, out_size=out_size,
+                               allow_upscale=True)
+    x = boxed.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
                                ranking=ranking)
