@@ -163,9 +163,20 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anchors_px, gt_labels,
     mask_pos = jnp.where((fg_count[:, None, :] > 1), is_best, mask_pos)
     fg_mask = mask_pos.sum(-2) > 0                            # (B, A) bool
 
-    target_gt = jnp.argmax(mask_pos, axis=-2)                 # (B, A)
-    tgt_labels = jnp.take_along_axis(labels, target_gt, axis=1)        # (B, A)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt[..., None], axis=1)
+    # Gather each anchor's assigned gt by contracting against mask_pos
+    # (exactly one 1.0 per fg anchor after the best-gt resolution above)
+    # instead of argmax + take_along_axis: those lowered to scalar-core
+    # gathers (4.4 ms/step at bs64, profiler trace 2026-08-16); the
+    # contraction is a VPU/MXU reduce over N. fg values are exact
+    # (x*1 + zeros); non-fg anchors get 0s where the gather fetched gt
+    # row 0 — both are masked out by fg_mask everywhere downstream, and
+    # all-zero boxes are already the padded-row domain ciou handles.
+    tgt_labels = (mask_pos * labels[:, :, None].astype(mask_pos.dtype)) \
+        .sum(-2).astype(jnp.int32)                            # (B, A)
+    # HIGHEST precision: the TPU default matmul path multiplies in bf16,
+    # which would quantize pixel coordinates (~2.5px at 640)
+    target_bboxes = jnp.einsum("bna,bnc->bac", mask_pos, gt_bboxes,
+                               precision=jax.lax.Precision.HIGHEST)
 
     target_scores = jax.nn.one_hot(tgt_labels, num_classes, dtype=jnp.float32)
     target_scores = jnp.where(fg_mask[..., None], target_scores, 0.0)
@@ -190,9 +201,17 @@ def _dfl_loss(dist_logits, target, reg_max: int):
     tl = jnp.floor(target).astype(jnp.int32)
     wr = target - tl
     wl = 1.0 - wr
-    lp_l = jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    lp_r = jnp.take_along_axis(logp, (tl + 1)[..., None], axis=-1)[..., 0]
-    return -(lp_l * wl + lp_r * wr).mean(-1)
+    # Two-hot weights as a dense (B, A, 4, reg_max) mask-and-reduce
+    # instead of two take_along_axis gathers: XLA executed those as
+    # scalar-core gathers (2x 35.7 ms/step at bs64 — the top cost in the
+    # whole train step, profiler trace 2026-08-16); the dense form is a
+    # VPU elementwise+reduce over only reg_max=16 lanes. Weights are the
+    # same wl/wr values at the same bins, and summing the 14 exact zeros
+    # is exact, so the loss is bit-identical.
+    k = jnp.arange(reg_max, dtype=jnp.int32)
+    w = (wl[..., None] * (tl[..., None] == k)
+         + wr[..., None] * (tl[..., None] + 1 == k))
+    return -(logp * w).sum(-1).mean(-1)
 
 
 def detection_loss(raw_maps, gt, hyp: dict, cfg: ModelConfig):
