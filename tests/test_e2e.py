@@ -48,6 +48,55 @@ def _hyp_tiny(tmp_path):
     return str(p)
 
 
+def test_parity_check_harness(mini_coco, tmp_path):
+    """tools/parity_check.py drives the full --test path end-to-end and
+    emits the JSON verdict contract (VERDICT r1 missing #8: the harness
+    must be runnable the hour COCO + yolo11n.pt appear; here it runs on
+    the synthetic mini-COCO with init weights and an explicit --expect)."""
+    import json
+
+    import jax
+
+    from tpu_yolo.core.config import get_model_config, load_hyperparams
+    from tpu_yolo.io.checkpoint import save_checkpoint
+    from tpu_yolo.models import yolov11
+
+    hyp_path = _hyp_tiny(tmp_path)
+    hyp = load_hyperparams(hyp_path)
+    cfg = get_model_config("n", num_classes=len(hyp["names"]))
+    params = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "yolo11n.ckpt"
+    save_checkpoint(str(ckpt), {"params": params, "ema_params": None})
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    cmd = [
+        sys.executable, "tools/parity_check.py",
+        "--weights", str(ckpt), "--data-dir", str(mini_coco),
+        "--input-size", "128", "--val-batch-size", "4",
+        "--hyp", hyp_path, "--workers", "2",
+        "--expect", "0.0", "--tol", "5.0",
+    ]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                       env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-4000:]
+    verdict = json.loads(r.stdout.strip().splitlines()[-1])
+    assert verdict["pass"] is True and verdict["full_set"] is True
+    assert verdict["metric"] == "coco_val_map_v11n_128"
+    assert 0.0 <= verdict["map"] <= 100.0
+
+    # --max-images smoke mode: runs, but never grants a parity pass
+    r2 = subprocess.run(cmd + ["--max-images", "2"],
+                        cwd=os.path.dirname(os.path.dirname(__file__)),
+                        env=env, capture_output=True, text=True, timeout=1200)
+    assert r2.returncode == 1, r2.stderr[-4000:]
+    v2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert v2["pass"] is False and v2["full_set"] is False
+
+
 @pytest.mark.slow
 def test_cli_train_then_test(mini_coco, tmp_path):
     """`main.py --train` one epoch then `--test` on the checkpoint, all on

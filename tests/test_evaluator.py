@@ -126,6 +126,50 @@ def test_evaluate_loop_with_ragged_final_batch():
         assert isinstance(v, float) and 0.0 <= v <= 1.0
 
 
+def test_evaluate_sharded_with_ragged_final_batch():
+    """evaluate(device_put_fn=dp.shard_batch) across the 8-device mesh:
+    the padded final batch keeps the one compiled (shardable) shape, so
+    DP eval works when the dataset size is not a multiple of the global
+    batch (VERDICT r1 weak #10; eval/evaluator.py:107-122)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.core.config import ModelConfig
+    from tpu_yolo.eval.evaluator import evaluate
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.parallel.mesh import DataParallel, make_mesh
+
+    assert len(jax.devices()) == 8, "conftest forces the 8-device mesh"
+    dp = DataParallel(make_mesh())
+
+    tiny = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                       csp=(False, True), num_classes=2)
+    params = dp.replicate(yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), tiny)))
+    rng = np.random.default_rng(0)
+
+    def loader():
+        for n in (8, 8, 3):  # final batch ragged vs the 8-way data axis
+            images = rng.integers(0, 256, (n, 64, 64, 3), np.uint8)
+            cls = np.zeros((n, 1), np.float32)
+            box = np.tile(np.array([[0.5, 0.5, 0.4, 0.4]], np.float32), (n, 1))
+            idx = np.arange(n, dtype=np.float32)
+            yield images, {"cls": cls, "box": box, "idx": idx}
+
+    class L:
+        def __iter__(self):
+            return loader()
+
+        def __len__(self):
+            return 3
+
+    m_ap, m_ap50, recall, precision = evaluate(
+        params, L(), tiny, input_size=64, compute_dtype=jnp.float32,
+        device_put_fn=dp.shard_batch)
+    for v in (m_ap, m_ap50, recall, precision):
+        assert isinstance(v, float) and 0.0 <= v <= 1.0
+
+
 def test_plot_outputs(tmp_path):
     """average_precision(plot_dir=...) writes the four curve PNGs
     (reference util.py:289-292 contract)."""

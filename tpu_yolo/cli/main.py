@@ -76,6 +76,52 @@ def load_model_params(args, cfg, for_inference: bool):
     return params
 
 
+def run_test(args, hyp, cfg, max_images: int | None = None):
+    """The --test body (reference main.py:224-304 test()): load weights,
+    build the val2017 loader, run the DP-sharded eval pass. Factored out
+    so tools/parity_check.py drives the identical code path. Returns the
+    reference tuple (mAP, mAP50, recall, precision)."""
+    import math
+
+    import jax
+
+    from tpu_yolo.data.dataset import DetectionDataset
+    from tpu_yolo.data.loader import DataLoader
+    from tpu_yolo.eval.evaluator import evaluate
+    from tpu_yolo.parallel import DataParallel, make_mesh
+
+    params = load_model_params(args, cfg, for_inference=True)
+    with open(os.path.join(args.data_dir, "val2017.txt")) as f:
+        filenames = [
+            os.path.join(args.data_dir, "images", "val2017",
+                         os.path.basename(line.strip()))
+            for line in f if line.strip()]
+    cache = os.path.join(args.data_dir, "val2017.cache.npy")
+    if max_images is not None:
+        filenames = filenames[:max_images]
+        # the label cache stores the full dict it was built with, so a
+        # truncated run must not share the full-set cache
+        cache = os.path.join(args.data_dir,
+                             f"val2017.first{max_images}.cache.npy")
+    dataset = DetectionDataset(
+        filenames, args.input_size, hyp, augment=False, cache_path=cache)
+    loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
+                        num_workers=args.workers)
+
+    # Shard eval batches across local chips (as many as divide the
+    # batch; no-op on one chip).
+    n_data = max(math.gcd(args.val_batch_size, len(jax.devices())), 1)
+    dp = DataParallel(make_mesh(n_data=n_data))
+    params = dp.replicate(params)
+
+    return evaluate(
+        params, loader, cfg, args.input_size,
+        plot_dir=args.save_dir if args.plot else None,
+        names=[v for _, v in sorted(hyp["names"].items())],
+        device_put_fn=(dp.shard_batch if dp.num_data_shards > 1 else None),
+        progress=True)
+
+
 def main():
     args = parse_args()
     setup_seed(args.seed)
@@ -133,39 +179,7 @@ def main():
         train(args, hyp, cfg, dp)
 
     if args.test:
-        from tpu_yolo.data.dataset import DetectionDataset
-        from tpu_yolo.data.loader import DataLoader
-        from tpu_yolo.eval.evaluator import evaluate
-
-        params = load_model_params(args, cfg, for_inference=True)
-        with open(os.path.join(args.data_dir, "val2017.txt")) as f:
-            filenames = [
-                os.path.join(args.data_dir, "images", "val2017",
-                             os.path.basename(line.strip()))
-                for line in f if line.strip()]
-        dataset = DetectionDataset(
-            filenames, args.input_size, hyp, augment=False,
-            cache_path=os.path.join(args.data_dir, "val2017.cache.npy"))
-        loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
-                            num_workers=args.workers)
-
-        # Shard eval batches across local chips (as many as divide the
-        # batch; no-op on one chip).
-        import math
-
-        import jax
-
-        from tpu_yolo.parallel import DataParallel, make_mesh
-        n_data = max(math.gcd(args.val_batch_size, len(jax.devices())), 1)
-        dp = DataParallel(make_mesh(n_data=n_data))
-        params = dp.replicate(params)
-
-        m_ap, m_ap50, recall, precision = evaluate(
-            params, loader, cfg, args.input_size,
-            plot_dir=args.save_dir if args.plot else None,
-            names=[v for _, v in sorted(hyp["names"].items())],
-            device_put_fn=(dp.shard_batch if dp.num_data_shards > 1 else None),
-            progress=True)
+        m_ap, m_ap50, recall, precision = run_test(args, hyp, cfg)
         print(f"mAP: {m_ap:.3f}  mAP@50: {m_ap50:.3f}  "
               f"Recall: {recall:.3f}  Precision: {precision:.3f}")
 
