@@ -27,7 +27,10 @@ def parse_args():
     p.add_argument("--epochs", default=600, type=int)
     p.add_argument("--train", action="store_true")
     p.add_argument("--test", action="store_true")
-    p.add_argument("--export", action="store_true", help="export StableHLO")
+    p.add_argument("--export", nargs="?", const="stablehlo", default="",
+                   choices=["stablehlo", "onnx", "both"],
+                   help="export format (bare --export = stablehlo; onnx "
+                        "emits a stock opset-17 .onnx artifact)")
     p.add_argument("--profile", action="store_true",
                    help="print params + GFLOPs (XLA cost model) and exit")
     p.add_argument("--weights", default="", help=".pt/.npz/.ckpt to load")
@@ -184,13 +187,20 @@ def main():
               f"Recall: {recall:.3f}  Precision: {precision:.3f}")
 
     if args.export:
-        from tpu_yolo.utils.export import export_stablehlo
-
         params = load_model_params(args, cfg, for_inference=True)
-        manifest = export_stablehlo(
-            params, cfg, args.input_size,
-            os.path.join(args.save_dir, f"export_{args.model_size}"))
-        print(f"exported: {manifest}")
+        out_dir = os.path.join(args.save_dir, f"export_{args.model_size}")
+        if args.export in ("stablehlo", "both"):
+            from tpu_yolo.utils.export import export_stablehlo
+
+            manifest = export_stablehlo(params, cfg, args.input_size, out_dir)
+            print(f"exported: {manifest}")
+        if args.export in ("onnx", "both"):
+            from tpu_yolo.utils.onnx import export_onnx
+
+            os.makedirs(out_dir, exist_ok=True)
+            meta = export_onnx(params, cfg, args.input_size,
+                               os.path.join(out_dir, "model.onnx"))
+            print(f"exported: {meta}")
 
 
 if __name__ == "__main__":
