@@ -64,21 +64,38 @@ def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
     dt = time.perf_counter() - t0
     throughput = batch * iters / dt
 
-    # p50 single-image latency
-    one = images[:1]
-    jax.block_until_ready(step(params, one))
+    # p50 single-image latency — distinct inputs each call (the relay
+    # dedupes identical-input executions, CLAUDE.md)
+    ones = [jax.device_put(rng.integers(0, 256, (1, size, size, 3), np.uint8))
+            for _ in range(8)]
+    jax.block_until_ready(step(params, ones[0]))
+    jax.block_until_ready(step(params, ones[1]))
     lat = []
-    for _ in range(20):
+    for i in range(20):
         t0 = time.perf_counter()
-        jax.block_until_ready(step(params, one))
+        jax.block_until_ready(step(params, ones[i % len(ones)]))
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
-    return throughput, p50_ms, str(jax.devices()[0].platform)
+    # Per-dispatch round-trip floor in this environment (axon tunnel):
+    # the same timed loop around a trivial jitted op. Subtracting it
+    # makes the device share of the bs=1 number interpretable.
+    tick = jax.jit(lambda a: a + 1)
+    scalars = [jax.device_put(np.float32(i)) for i in range(8)]
+    jax.block_until_ready(tick(scalars[0]))
+    jax.block_until_ready(tick(scalars[1]))
+    rtt = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tick(scalars[i % len(scalars)]))
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt) * 1e3)
+
+    return throughput, p50_ms, rtt_ms, str(jax.devices()[0].platform)
 
 
 def main():
-    throughput, p50_ms, platform = run()
+    throughput, p50_ms, rtt_ms, platform = run()
     baseline = 2000.0  # img/s/chip north-star (BASELINE.json)
     print(json.dumps({
         "metric": "e2e_throughput_yolov11n_640_bs128_norm+fwd+nms",
@@ -86,6 +103,8 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(throughput / baseline, 3),
         "p50_latency_ms_bs1": round(p50_ms, 2),
+        "dispatch_rtt_ms": round(rtt_ms, 2),
+        "p50_device_ms_bs1_est": round(p50_ms - rtt_ms, 2),
         "platform": platform,
     }))
 
