@@ -267,9 +267,13 @@ int ip_load_one(void* p, const uint8_t* bytes, int64_t len, uint8_t* out,
 // whose long side exceeds `stage` are pre-shrunk (bilinear) so the long
 // side == stage. dims is (n, 4): [staged_h, staged_w, orig_h, orig_w];
 // failed slots are zeroed with dims[0] = -1. Returns failure count.
-int ip_load_batch_raw(void* p, const char** paths, int n, int stage,
-                      uint8_t* out, float* dims) {
-  Pipeline* pl = static_cast<Pipeline*>(p);
+// scale_mode 0: shrink only when larger, lround dims (serving staging).
+// scale_mode 1: always resize so the long side == stage, truncated
+//   dims (matches data/image.py::load_image: r = stage/max(h,w),
+//   new = int(dim*r)) — the train-augment staging contract.
+static int load_batch_staged(Pipeline* pl, const char** paths, int n,
+                             int stage, int scale_mode, uint8_t* out,
+                             float* dims) {
   const size_t stride = static_cast<size_t>(stage) * stage * 3;
   std::atomic<int> failures{0};
   int done = 0;
@@ -295,17 +299,26 @@ int ip_load_batch_raw(void* p, const char** paths, int n, int stage,
       std::memset(slot, 0, stride);
       if (ok) {
         int sh = h, sw = w;
-        std::vector<uint8_t> shrunk;
+        const bool resize = scale_mode == 1 ? ((h > w ? h : w) != stage)
+                                            : (h > stage || w > stage);
+        std::vector<uint8_t> scaled;
         const uint8_t* src = rgb.data();
-        if (h > stage || w > stage) {
+        if (resize) {
           const float d = static_cast<float>(stage) / (h > w ? h : w);
-          sh = static_cast<int>(std::lroundf(h * d));
-          sw = static_cast<int>(std::lroundf(w * d));
+          if (scale_mode == 1) {
+            sh = static_cast<int>(h * d);
+            sw = static_cast<int>(w * d);
+          } else {
+            sh = static_cast<int>(std::lroundf(h * d));
+            sw = static_cast<int>(std::lroundf(w * d));
+          }
           if (sh > stage) sh = stage;
           if (sw > stage) sw = stage;
-          shrunk.resize(static_cast<size_t>(sw) * sh * 3);
-          resize_bilinear_rgb(rgb.data(), w, h, shrunk.data(), sw, sh);
-          src = shrunk.data();
+          if (sh < 1) sh = 1;
+          if (sw < 1) sw = 1;
+          scaled.resize(static_cast<size_t>(sw) * sh * 3);
+          resize_bilinear_rgb(rgb.data(), w, h, scaled.data(), sw, sh);
+          src = scaled.data();
         }
         for (int y = 0; y < sh; ++y)
           std::memcpy(slot + static_cast<size_t>(y) * stage * 3,
@@ -329,6 +342,21 @@ int ip_load_batch_raw(void* p, const char** paths, int n, int stage,
   std::unique_lock<std::mutex> lk(mu);
   cv.wait(lk, [&] { return done == n; });
   return failures.load();
+}
+
+int ip_load_batch_raw(void* p, const char** paths, int n, int stage,
+                      uint8_t* out, float* dims) {
+  return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
+                           /*scale_mode=*/0, out, dims);
+}
+
+// Train-augment staging: every image resized so its long side == stage
+// (up or down, bilinear), truncated dims — the load_image contract the
+// host mosaic math uses (data/image.py:26-38).
+int ip_load_batch_scaled(void* p, const char** paths, int n, int stage,
+                         uint8_t* out, float* dims) {
+  return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
+                           /*scale_mode=*/1, out, dims);
 }
 
 // Decode+letterbox a batch of n files in parallel into `out`

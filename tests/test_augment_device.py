@@ -1,0 +1,283 @@
+"""Device-side augmentation vs the host cv2 path.
+
+Three layers:
+  * pixel parity: the device mosaic+affine compose (4 masked separable
+    MXU resamples, ops/augment_device.py) vs the literal host oracle —
+    paste into a 2S canvas, cv2.warpAffine — using the very placements
+    and affine the sampler emitted (tolerances as for the letterbox
+    kernel: cv2 interpolates in fixed point);
+  * draw parity: sample_mosaic's placements/labels vs mosaic4() itself,
+    both driven by scripted RNGs producing the same draws — labels must
+    be bit-identical (shared warp_labels_affine), canvases identical;
+  * HSV parity: hsv_jitter_device vs the cv2 uint8-LUT host jitter.
+"""
+import random
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_yolo.data import augment as A
+from tpu_yolo.data.device_augment import _mosaic_placement, sample_mosaic
+from tpu_yolo.ops.augment_device import (augment_batch, hsv_jitter_device,
+                                         _mosaic_affine_one)
+
+S = 128          # even (mosaic border arithmetic), small for CPU
+
+
+def _sources(rng, dims):
+    """Smooth-ish RGB sources at given (h, w) dims in (S, S) staging."""
+    staged = np.zeros((len(dims), S, S, 3), np.uint8)
+    imgs = []
+    for i, (h, w) in enumerate(dims):
+        base = rng.integers(0, 256, (h // 4 + 2, w // 4 + 2, 3), np.uint8)
+        img = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+        staged[i, :h, :w] = img
+        imgs.append(img)
+    return staged, imgs
+
+
+class ScriptedRandom(random.Random):
+    """Replays a fixed script: uniform/random pop from a list, choices
+    and shuffle deterministic."""
+
+    def __init__(self, uniforms, choices_out):
+        super().__init__(0)
+        self._u = list(uniforms)
+        self._c = list(choices_out)
+
+    def uniform(self, a, b):
+        frac = self._u.pop(0)
+        return a + (b - a) * frac
+
+    def random(self):
+        return self._u.pop(0)
+
+    def choices(self, population, k=1):
+        return self._c[:k]
+
+    def shuffle(self, x):
+        pass
+
+
+DIMS = [(128, 96), (72, 128), (128, 128), (60, 44)]
+
+
+def _draw_params(staged_dims, labels, hyp, uniforms):
+    """Run sample_mosaic with scripted draws; returns its outputs."""
+    rng = ScriptedRandom(uniforms, [1, 2, 3])
+    np_rng = np.random.default_rng(5)
+    return sample_mosaic(rng, np_rng, 0, 4, lambda i: staged_dims[i],
+                         lambda i: labels[i], S, hyp)
+
+
+@pytest.mark.parametrize("uniforms", [
+    [0.5, 0.5, 0.3, 0.55, 0.45, 0.9, 0.9],   # xc, yc, s, tx, ty, flips
+    [0.1, 0.9, 0.8, 0.4, 0.6, 0.9, 0.9],
+    [0.95, 0.05, 0.0, 0.5, 0.5, 0.9, 0.9],
+])
+def test_mosaic_affine_pixels_match_cv2(uniforms):
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.0, "flip_lr": 0.5,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4}
+    rng = np.random.default_rng(1)
+    staged, imgs = _sources(rng, DIMS)
+    labels = [np.zeros((0, 5), np.float32)] * 4
+
+    idxs, params, _, _ = _draw_params(DIMS, labels, hyp, list(uniforms))
+    assert idxs == [0, 1, 2, 3]  # primary first + scripted choices
+
+    # host oracle: paste into the 2S canvas, then warpAffine
+    xc = int(S // 2 + uniforms[0] * S)
+    yc = int(S // 2 + uniforms[1] * S)
+    s = (1 - hyp["scale"]) + uniforms[2] * 2 * hyp["scale"]
+    tx = ((0.5 - hyp["translate"]) + uniforms[3] * 2 * hyp["translate"]) * S
+    ty = ((0.5 - hyp["translate"]) + uniforms[4] * 2 * hyp["translate"]) * S
+    canvas = np.zeros((2 * S, 2 * S, 3), np.uint8)
+    for q, idx in enumerate(idxs):
+        h, w = DIMS[idx]
+        (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b) = _mosaic_placement(
+            q, xc, yc, w, h, S)
+        canvas[y1a:y2a, x1a:x2a] = imgs[idx][y1b:y2b, x1b:x2b]
+    M = np.array([[s, 0, tx - s * S], [0, s, ty - s * S]], np.float64)
+    want = cv2.warpAffine(canvas, M, dsize=(S, S), borderValue=(0, 0, 0))
+
+    got = np.asarray(_mosaic_affine_one(
+        jnp.asarray(staged[np.array(idxs)]),
+        jnp.float32(params["inv_scale"]),
+        jnp.asarray(params["off_x"]), jnp.asarray(params["off_y"]),
+        jnp.asarray(params["lo_x"]), jnp.asarray(params["hi_x"]),
+        jnp.asarray(params["lo_y"]), jnp.asarray(params["hi_y"]),
+        out_size=S))
+    got = np.round(got)
+
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.mean() < 1.5, diff.mean()
+    assert np.quantile(diff, 0.99) <= 6, np.quantile(diff, 0.99)
+
+
+def test_sampler_matches_mosaic4():
+    """Same scripted draws through mosaic4() (host) and sample_mosaic
+    (device path): labels bit-identical (pre-flip), placements equal."""
+    hyp = {"scale": 0.5, "translate": 0.1, "degrees": 0.0, "shear": 0.0,
+           "flip_ud": 0.0, "flip_lr": 0.0, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4}
+    rng = np.random.default_rng(2)
+    staged, imgs = _sources(rng, DIMS)
+    labels = []
+    for h, w in DIMS:
+        n = int(rng.integers(1, 4))
+        cx, cy = rng.uniform(0.3, 0.7, (2, n))
+        bw, bh = rng.uniform(0.2, 0.5, (2, n))
+        labels.append(np.stack(
+            [rng.integers(0, 3, n), cx, cy, bw, bh], 1).astype(np.float32))
+
+    class StubDataset:
+        input_size = S
+        indices = range(4)
+
+        def read_image(self, i):
+            return imgs[i], DIMS[i]
+
+    StubDataset.labels = labels
+
+    # mosaic4 draw order: xc, yc, [choices, shuffle], then random_affine:
+    # degrees, scale, shear, shear, tx, ty
+    u = dict(xc=0.42, yc=0.61, s=0.37, tx=0.52, ty=0.48)
+    host_rng = ScriptedRandom(
+        [u["xc"], u["yc"], 0.5, u["s"], 0.5, 0.5, u["tx"], u["ty"]],
+        [1, 2, 3])
+    dev_rng = ScriptedRandom(
+        [u["xc"], u["yc"], u["s"], u["tx"], u["ty"], 0.9, 0.9],
+        [1, 2, 3])
+
+    import unittest.mock as mock
+    with mock.patch.object(A, "random", host_rng):
+        img_host, label_host = A.mosaic4(StubDataset(), 0, hyp)
+
+    _, params, cls_dev, box_dev = sample_mosaic(
+        dev_rng, np.random.default_rng(3), 0, 4,
+        lambda i: DIMS[i], lambda i: labels[i], S, hyp)
+
+    # labels: host returns pixel corners; device returns normalized
+    # cxcywh (no flips drawn) — convert and compare exactly
+    from tpu_yolo.data.augment import corners_to_norm
+    want_box = corners_to_norm(label_host[:, 1:5], S, S)
+    np.testing.assert_array_equal(cls_dev[:, 0], label_host[:, 0])
+    np.testing.assert_allclose(box_dev, want_box, rtol=0, atol=1e-7)
+
+    # pixels: host image is the cv2-composed mosaic; device compose of
+    # the same draws must match within interpolation tolerance
+    got = np.asarray(_mosaic_affine_one(
+        jnp.asarray(staged[np.array([0, 1, 2, 3])]),
+        jnp.float32(params["inv_scale"]),
+        jnp.asarray(params["off_x"]), jnp.asarray(params["off_y"]),
+        jnp.asarray(params["lo_x"]), jnp.asarray(params["hi_x"]),
+        jnp.asarray(params["lo_y"]), jnp.asarray(params["hi_y"]),
+        out_size=S))
+    diff = np.abs(np.round(got).astype(np.int16)
+                  - img_host.astype(np.int16))
+    assert diff.mean() < 1.5 and np.quantile(diff, 0.99) <= 6
+
+
+def test_hsv_matches_cv2_lut():
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (40, 40, 3), np.uint8)
+    img = cv2.resize(base, (160, 160), interpolation=cv2.INTER_LINEAR)
+
+    for gains in ([1.01, 0.8, 1.2], [0.99, 1.3, 0.7], [1.0, 1.0, 1.0]):
+        gains = np.float32(gains)
+        # host path operates on BGR in place
+        host = img[:, :, ::-1].copy()  # RGB -> BGR
+        x = np.arange(256, dtype=np.float32)
+        hue, sat, val = cv2.split(cv2.cvtColor(host, cv2.COLOR_BGR2HSV))
+        lut_h = ((x * gains[0]) % 180).astype(np.uint8)
+        lut_s = np.clip(x * gains[1], 0, 255).astype(np.uint8)
+        lut_v = np.clip(x * gains[2], 0, 255).astype(np.uint8)
+        hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                         cv2.LUT(val, lut_v)))
+        want = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[:, :, ::-1]  # ->RGB
+
+        got = np.asarray(hsv_jitter_device(
+            jnp.asarray(img, jnp.float32), jnp.asarray(gains)))
+        got = np.clip(got, 0, 255)
+
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.mean() < 2.5, (gains, diff.mean())
+        assert np.quantile(diff, 0.98) <= 10, (gains, np.quantile(diff, 0.98))
+
+
+def test_device_augment_loader(tmp_path):
+    """DeviceAugmentLoader end-to-end on a tiny on-disk COCO layout:
+    staged sources + params + collate-contract targets, composable by
+    augment_batch."""
+    pytest.importorskip("PIL")
+    from tpu_yolo.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    from tpu_yolo.data.device_augment import DeviceAugmentLoader
+
+    rng = np.random.default_rng(7)
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    files = []
+    for i, (h, w) in enumerate([(100, 140), (80, 60), (128, 128), (200, 150)]):
+        p = str(img_dir / f"im{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 256, (h, w, 3), np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        files.append(p)
+
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.0, "flip_lr": 0.5,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "mix_up": 0.0}
+    loader = DeviceAugmentLoader(files, S, hyp, batch_size=2, threads=2)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    staged, params, targets = batches[0]
+    assert staged.shape == (2, 4, S, S, 3)
+    assert params["off_x"].shape == (2, 4)
+    assert targets["box"].shape[1] == 4
+    assert set(np.asarray(targets["idx"]).ravel()) <= {0.0, 1.0}
+    out = np.asarray(augment_batch(
+        jnp.asarray(staged),
+        jax.tree_util.tree_map(jnp.asarray, params), out_size=S))
+    assert out.shape == (2, S, S, 3) and (out > 0).any()
+
+    # boxes land where the image content is: normalized, inside [0,1]
+    box = np.asarray(targets["box"])
+    assert (box >= 0).all() and (box <= 1).all()
+
+
+def test_augment_batch_end_to_end_shapes():
+    """Full jitted program: staged sources + sampled params -> uint8
+    batch; flips verified exactly against manual flip."""
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 1.0, "flip_lr": 1.0,
+           "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0}
+    rng = np.random.default_rng(6)
+    staged, _ = _sources(rng, DIMS)
+    labels = [np.zeros((0, 5), np.float32)] * 4
+
+    draws = [sample_mosaic(random.Random(i), np.random.default_rng(i),
+                           i % 4, 4, lambda j: DIMS[j],
+                           lambda j: labels[j], S, hyp)
+             for i in range(2)]
+    srcs = np.stack([staged[np.array(d[0])] for d in draws])
+    params = {k: np.stack([np.asarray(d[1][k]) for d in draws])
+              for k in draws[0][1]}
+    out = np.asarray(augment_batch(jnp.asarray(srcs), jax.tree_util.tree_map(
+        jnp.asarray, params), out_size=S))
+    assert out.shape == (2, S, S, 3) and out.dtype == np.uint8
+    assert (out > 0).any()
+
+    # flips were certain (prob 1.0): un-flipping must equal the
+    # no-flip program
+    params_nf = dict(params, flip_lr=np.zeros(2, bool),
+                     flip_ud=np.zeros(2, bool))
+    out_nf = np.asarray(augment_batch(
+        jnp.asarray(srcs), jax.tree_util.tree_map(jnp.asarray, params_nf),
+        out_size=S))
+    np.testing.assert_array_equal(out[:, ::-1, ::-1], out_nf)

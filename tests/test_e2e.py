@@ -98,6 +98,37 @@ def test_parity_check_harness(mini_coco, tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_device_augment(mini_coco, tmp_path):
+    """`main.py --train --device-augment`: the mosaic/affine/HSV/flip
+    pixel work runs inside the jitted program; one epoch must train and
+    log exactly like the host-augment path."""
+    save_dir = tmp_path / "weights_da"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    cmd = [
+        sys.executable, "main.py", "--train", "--device-augment",
+        "--model-size", "n", "--input-size", "128",
+        "--batch-size", "4", "--val-batch-size", "4", "--epochs", "1",
+        "--data-dir", str(mini_coco), "--save-dir", str(save_dir),
+        "--hyp", _hyp_tiny(tmp_path), "--workers", "2",
+    ]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                       env=env, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-4000:]
+    csv_path = save_dir / "step.csv"
+    assert csv_path.exists()
+    rows = csv_path.read_text().splitlines()
+    assert rows[0] == "epoch,box,cls,dfl,Recall,Precision,mAP@50,mAP"
+    assert len(rows) >= 2  # one epoch row with finite losses
+    vals = rows[1].split(",")
+    assert all(float(v) == float(v) for v in vals[1:4])  # not NaN
+    assert (save_dir / "last.ckpt").exists()
+
+
+@pytest.mark.slow
 def test_cli_train_then_test(mini_coco, tmp_path):
     """`main.py --train` one epoch then `--test` on the checkpoint, all on
     the virtual CPU mesh. Asserts the CSV contract and checkpoint files

@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--plot", action="store_true", help="save eval curves")
     p.add_argument("--tensorboard", action="store_true",
                    help="also log scalars to save-dir/tb (CSV always written)")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run mosaic/affine/HSV/flip augmentation on "
+                        "device (ops/augment_device.py); host only "
+                        "decodes + samples draws")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backward (less "
                         "activation memory, ~1/3 more FLOPs)")

@@ -112,6 +112,14 @@ def random_affine(img, label, hyp, border=(0, 0)):
     if border != (0, 0) or (matrix != np.eye(3)).any():
         img = cv2.warpAffine(img, matrix[:2], dsize=(out_w, out_h), borderValue=(0, 0, 0))
 
+    return img, warp_labels_affine(label, matrix, scale, out_w, out_h)
+
+
+def warp_labels_affine(label, matrix, scale, out_w, out_h):
+    """Warp [cls, x1, y1, x2, y2] rows through a 3x3 affine + the
+    survival filter (the label half of random_affine; reference
+    dataset.py:352-378). Shared with the device-augment sampler so both
+    paths use identical label math."""
     n = len(label)
     if n:
         pts = np.ones((n * 4, 3))
@@ -126,7 +134,7 @@ def random_affine(img, label, hyp, border=(0, 0)):
         label = label[keep]
         label[:, 1:5] = warped[keep]
 
-    return img, label
+    return label
 
 
 def mosaic4(dataset, index: int, hyp):

@@ -1,0 +1,254 @@
+"""Host side of the device-augment train pipeline.
+
+Draws the same augmentation distributions as the host path
+(data/augment.py::mosaic4 + random_affine + hsv_jitter + flips;
+reference utils/dataset.py:105-176, 324-379) and computes labels with
+the SAME shared code (warp_labels_affine), but ships only raw staged
+uint8 sources + per-image transform parameters; all pixel work runs in
+ops/augment_device.py::augment_batch on device.
+
+Per output sample the mosaic placement (integer shift + crop into the
+2S canvas) and the random affine (scale s, translation t; degrees and
+shear are 0 by default) compose, per axis, into one map
+  x_src = x_out / s + (S - t/s) - shift_k
+per quadrant k, with the valid source interval [x1b, x2b) from the
+crop. Those (inv_scale, offset, lo, hi) are the device parameters.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import random as _random
+import threading
+
+import numpy as np
+
+from tpu_yolo.data.augment import (corners_to_norm, denorm_corners,
+                                   warp_labels_affine)
+from tpu_yolo.data.labels import load_labels
+
+
+def _mosaic_placement(quadrant, xc, yc, w, h, size):
+    """Quadrant crop/paste rectangles — the exact mosaic4 formulas
+    (data/augment.py:148-166; reference dataset.py:124-151)."""
+    if quadrant == 0:
+        x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+        x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+    elif quadrant == 1:
+        x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, size * 2), yc
+        x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+    elif quadrant == 2:
+        x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(size * 2, yc + h)
+        x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+    else:
+        x1a, y1a, x2a, y2a = xc, yc, min(xc + w, size * 2), min(size * 2, yc + h)
+        x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+    return (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b)
+
+
+def sample_mosaic(rng: _random.Random, np_rng: np.random.Generator,
+                  index: int, n_images: int, dims_of, label_of,
+                  size: int, hyp: dict):
+    """One output image's draws.
+
+    dims_of(i) -> (staged_h, staged_w); label_of(i) -> (N, 5) normalized
+    [cls, cx, cy, w, h]. Returns (source_indices (4,), device params
+    dict of scalars/(4,) arrays, labels (M, 5) [cls + normalized
+    cxcywh] in the __getitem__ contract — flips already applied).
+    """
+    border = size // 2
+    xc = int(rng.uniform(border, 2 * size - border))
+    yc = int(rng.uniform(border, 2 * size - border))
+    indices = [index] + rng.choices(range(n_images), k=3)
+    rng.shuffle(indices)
+
+    s = rng.uniform(1 - hyp["scale"], 1 + hyp["scale"])
+    tx = rng.uniform(0.5 - hyp["translate"], 0.5 + hyp["translate"]) * size
+    ty = rng.uniform(0.5 - hyp["translate"], 0.5 + hyp["translate"]) * size
+
+    off_x, off_y = np.zeros(4, np.float32), np.zeros(4, np.float32)
+    lo_x, hi_x = np.zeros(4, np.float32), np.zeros(4, np.float32)
+    lo_y, hi_y = np.zeros(4, np.float32), np.zeros(4, np.float32)
+    merged = []
+    for q, idx in enumerate(indices):
+        h, w = dims_of(idx)
+        if h <= 0:  # decode failure: empty quadrant
+            continue
+        (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b) = _mosaic_placement(
+            q, xc, yc, int(w), int(h), size)
+        off_x[q] = size - tx / s - (x1a - x1b)
+        off_y[q] = size - ty / s - (y1a - y1b)
+        lo_x[q], hi_x[q] = x1b, x2b
+        lo_y[q], hi_y[q] = y1b, y2b
+
+        label = label_of(idx).copy()
+        if len(label):
+            label[:, 1:] = denorm_corners(label[:, 1:], int(w), int(h),
+                                          x1a - x1b, y1a - y1b)
+            merged.append(label)
+
+    label4 = (np.concatenate(merged, 0) if merged
+              else np.zeros((0, 5), np.float32))
+    np.clip(label4[:, 1:], 0, 2 * size, out=label4[:, 1:])
+
+    # label affine: same matrix random_affine builds for
+    # degrees=shear=0, border=(-size//2, -size//2)
+    matrix = np.array([[s, 0.0, tx - s * size],
+                       [0.0, s, ty - s * size],
+                       [0.0, 0.0, 1.0]])
+    label4 = warp_labels_affine(label4, matrix, s, size, size)
+
+    cls = label4[:, 0:1].copy()
+    box = (corners_to_norm(label4[:, 1:5], size, size) if len(label4)
+           else label4[:, 1:5].copy())
+
+    flip_ud = rng.random() < hyp["flip_ud"]
+    flip_lr = rng.random() < hyp["flip_lr"]
+    if flip_ud and len(box):
+        box[:, 1] = 1 - box[:, 1]
+    if flip_lr and len(box):
+        box[:, 0] = 1 - box[:, 0]
+
+    gains = (np_rng.uniform(-1, 1, 3)
+             * [hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"]] + 1)
+    params = {
+        "inv_scale": np.float32(1.0 / s),
+        "off_x": off_x, "off_y": off_y,
+        "lo_x": lo_x, "hi_x": hi_x, "lo_y": lo_y, "hi_y": hi_y,
+        "hsv_gains": gains.astype(np.float32),
+        "flip_lr": flip_lr, "flip_ud": flip_ud,
+    }
+    return indices, params, cls.astype(np.float32), box.astype(np.float32)
+
+
+class DeviceAugmentLoader:
+    """Train loader for the device-augment path.
+
+    Yields (staged (B, 4, St, St, 3) uint8, params dict of (B, ...)
+    arrays, targets {cls, box, idx}) — images come out of
+    ops/augment_device.py::augment_batch(staged, params) on device;
+    targets are already in the collate() contract. Requires the native
+    loader (ip_load_batch_scaled); raises otherwise.
+
+    Gated on the mosaic path: the reference disables mosaic for the
+    final 10 epochs (main.py:109-110) — the trainer switches back to
+    the host DataLoader there (train/trainer.py).
+    """
+
+    def __init__(self, filenames, input_size: int, hyp: dict,
+                 batch_size: int, cache_path: str | None = None,
+                 threads: int = 8, seed: int = 0):
+        from tpu_yolo.data import native_loader
+
+        if not native_loader.available():
+            raise RuntimeError("device-augment needs the native loader "
+                               "(make -C native)")
+        if hyp.get("mix_up", 0.0) > 0:
+            raise NotImplementedError(
+                "device-augment does not support mix_up > 0 "
+                "(ops/augment_device.py docstring)")
+        labels = load_labels(list(filenames), cache_path)
+        self.filenames = list(labels.keys())
+        self.labels = list(labels.values())
+        self.input_size = input_size
+        self.hyp = hyp
+        self.batch_size = batch_size
+        self.seed = seed
+        self._epoch = 0
+        self._pipe = native_loader.NativePipeline(input_size,
+                                                 threads=threads)
+        self._staged = self._scan_staged_dims(cache_path)
+
+    def _scan_staged_dims(self, cache_path):
+        """(N, 2) staged [h, w] for every image — the placement/label
+        math needs dims BEFORE decode. PIL header reads only (no pixel
+        decode), cached in a sidecar next to the label cache."""
+        sizes_path = (cache_path + ".sizes.npy") if cache_path else None
+        orig = None
+        if sizes_path and os.path.exists(sizes_path):
+            cached = np.load(sizes_path)
+            if len(cached) == len(self.filenames):
+                orig = cached
+        if orig is None:
+            from PIL import Image
+
+            orig = np.zeros((len(self.filenames), 2), np.int32)
+            for i, p in enumerate(self.filenames):
+                try:
+                    with open(p, "rb") as f:
+                        w, h = Image.open(f).size
+                    orig[i] = (h, w)
+                except Exception:
+                    orig[i] = (0, 0)  # decode will fail too: empty slot
+            if sizes_path:
+                np.save(sizes_path, orig)
+        # the load_image contract: r = S/max(h,w); r != 1 -> int trunc
+        staged = orig.astype(np.int64).copy()
+        long_side = orig.max(1)
+        scale = np.where(long_side > 0,
+                         self.input_size / np.maximum(long_side, 1), 0.0)
+        resized = (orig * scale[:, None]).astype(np.int64)
+        staged = np.where((long_side != self.input_size)[:, None],
+                          resized, staged)
+        return staged
+
+    def __len__(self):
+        return len(self.filenames) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _staged_dims(self, idx: int):
+        return (int(self._staged[idx, 0]), int(self._staged[idx, 1]))
+
+    def _make_batch(self, primaries, rng, np_rng):
+        bs = self.batch_size
+        st = self.input_size
+        n = len(self.filenames)
+
+        draws = [sample_mosaic(rng, np_rng, p, n, self._staged_dims,
+                               lambda i: self.labels[i], st, self.hyp)
+                 for p in primaries]
+        flat_idx = [i for d in draws for i in d[0]]
+        staged, dims, _ = self._pipe.load_batch_scaled(
+            [self.filenames[i] for i in flat_idx], st)
+        staged = staged.reshape(bs, 4, st, st, 3)
+
+        params = {
+            k: np.stack([np.asarray(d[1][k]) for d in draws])
+            for k in draws[0][1]
+        }
+        cls = [d[2] for d in draws]
+        box = [d[3] for d in draws]
+        idx = [np.full(len(c), i, dtype=np.float32)
+               for i, c in enumerate(cls)]  # 1-D, the collate() contract
+        targets = {
+            "cls": (np.concatenate(cls) if cls else np.zeros((0, 1), np.float32)),
+            "box": (np.concatenate(box) if box else np.zeros((0, 4), np.float32)),
+            "idx": (np.concatenate(idx) if idx else np.zeros((0,), np.float32)),
+        }
+        return staged, params, targets
+
+    def __iter__(self):
+        rng = _random.Random(self.seed + self._epoch)
+        np_rng = np.random.default_rng(self.seed + self._epoch)
+        order = list(range(len(self.filenames)))
+        rng.shuffle(order)
+
+        # one-deep prefetch: stage batch i+1 (C++ pool, GIL-free) while
+        # the device trains on batch i
+        q: queue.Queue = queue.Queue(maxsize=1)
+
+        def produce():
+            for b in range(len(self)):
+                primaries = order[b * self.batch_size:(b + 1) * self.batch_size]
+                q.put(self._make_batch(primaries, rng, np_rng))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

@@ -53,6 +53,8 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float)]
+    lib.ip_load_batch_scaled.restype = ctypes.c_int
+    lib.ip_load_batch_scaled.argtypes = lib.ip_load_batch_raw.argtypes
     _lib = lib
     return lib
 
@@ -119,6 +121,23 @@ class NativePipeline:
         dims = np.empty((n, 4), np.float32)
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         nfail = self._lib.ip_load_batch_raw(
+            self._h, arr, n, stage,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out, dims, int(nfail)
+
+    def load_batch_scaled(self, paths: list[str], stage: int):
+        """Parallel decode + resize so every image's long side == stage
+        (bilinear, up or down; truncated dims — the load_image contract,
+        data/image.py:26-38), top-left anchored in a (N, stage, stage, 3)
+        buffer. The train device-augment staging path. Returns
+        (buffer, dims (N,4) [staged_h, staged_w, orig_h, orig_w],
+        n_failures); failed slots zeroed with dims[i,0] == -1."""
+        n = len(paths)
+        out = np.empty((n, stage, stage, 3), np.uint8)
+        dims = np.empty((n, 4), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        nfail = self._lib.ip_load_batch_scaled(
             self._h, arr, n, stage,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

@@ -1,0 +1,162 @@
+"""Device-side train augmentation: mosaic + affine + HSV + flips.
+
+The reference augments on host with cv2 (reference utils/dataset.py:
+105-176 load_mosaic, 324-379 random_perspective, 274-289 HSV). On a
+host with few cores that pipeline cannot feed a chip running the
+gather-free train step (~900 img/s, BENCH.md); this module moves the
+pixel work into one jitted program, the same way ops/letterbox.py moved
+the serving geometry.
+
+The enabling observation: with the default hyperparameters
+(degrees = shear = 0, core/hyp.yaml — same as the reference's
+args.yaml), the mosaic placement and the random affine are all
+AXIS-ALIGNED maps (scale + translate), so the whole
+4-source-images -> augmented-output transform is separable and lands on
+the MXU as four masked (R_y^k · src_k · R_x^kᵀ) resamples summed:
+
+  * each mosaic quadrant k is an axis-aligned rectangle of the 2S
+    canvas, so its indicator factorizes per axis and the 2D bilinear
+    weight of a canvas tap splits exactly across quadrants;
+  * the canvas is never materialized — placement (integer shift + crop)
+    and the affine compose into one scale/offset per axis per source.
+
+Host keeps: RNG draws, label warp + survival filter (exact, tiny —
+data/device_augment.py), decode + long-side prescale (native loader
+`ip_load_batch_scaled`, the load_image contract). Device does all
+pixels. Labels are bit-identical to the host path by construction;
+pixels match the cv2 oracle to the same tolerance as the letterbox
+kernel (tests/test_augment_device.py).
+
+Known, documented divergences from the host path: the prescale always
+uses bilinear (host draws a random cv2 interpolation per image in
+augment mode, data/image.py:22); the rare photometric_jitter extras
+(blur/CLAHE/gray/median at p=0.01) are not applied; mixup (default
+prob 0.0) is not supported.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _affine_taps(out_size: int, src_size: int, inv_scale, offset, lo, hi):
+    """(out_size, src_size) bilinear tap matrix for the integer-grid map
+    x_src = i * inv_scale + offset (cv2.warpAffine convention — no
+    half-pixel shift, unlike cv2.resize), constant-0 border: taps whose
+    source index falls outside [lo, hi) contribute nothing."""
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    s = i * inv_scale + offset
+    s0 = jnp.floor(s)
+    w1 = s - s0
+    w0 = 1.0 - w1
+    t0 = s0.astype(jnp.int32)
+    k = jnp.arange(src_size, dtype=jnp.int32)
+    m = (w0[:, None] * (k[None, :] == t0[:, None])
+         + w1[:, None] * (k[None, :] == t0[:, None] + 1))
+    valid = (k[None, :] >= lo) & (k[None, :] < hi)
+    return jnp.where(valid, m, 0.0)
+
+
+def _mosaic_affine_one(srcs, inv_scale, off_x, off_y, lo_x, hi_x, lo_y,
+                       hi_y, *, out_size: int):
+    """Compose one augmented image from its 4 staged sources.
+
+    srcs: (4, St, St, 3) uint8; per-quadrant scalars in the (4,) args:
+      x_src = x_out * inv_scale + off_x[k], valid cols [lo_x, hi_x)
+    (host computes these by composing placement + affine,
+    data/device_augment.py). Returns (S, S, 3) float32 in [0, 255].
+    """
+    st = srcs.shape[1]
+
+    def one_quadrant(src, ox, oy, lx, hx, ly, hy):
+        ry = _affine_taps(out_size, st, inv_scale, oy, ly, hy)  # (S, St)
+        rx = _affine_taps(out_size, st, inv_scale, ox, lx, hx)  # (S, St)
+        # bf16 taps / f32 accumulate: same argument as ops/letterbox.py
+        # (pixels exact in bf16; tap quantization < 1 LSB)
+        y = jnp.einsum("ik,kwc->iwc", ry.astype(jnp.bfloat16),
+                       src.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("jw,iwc->ijc", rx.astype(jnp.bfloat16),
+                          y.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    parts = jax.vmap(one_quadrant)(srcs, off_x, off_y, lo_x, hi_x,
+                                   lo_y, hi_y)
+    return jnp.clip(parts.sum(0), 0.0, 255.0)
+
+
+def hsv_jitter_device(img, gains):
+    """HSV color jitter with the host path's uint8-LUT semantics
+    (data/augment.py::hsv_jitter; reference dataset.py:274-289).
+
+    img: (..., 3) float32 RGB in [0, 255]; gains: (3,) the drawn
+    (r_h, r_s, r_v) multipliers. Float re-derivation of cv2's 8-bit
+    HSV round trip: channel values are rounded to the uint8 grid where
+    cv2 rounds, and the LUT outputs truncate (`.astype(np.uint8)`).
+    Matches the cv2 path to a few LSB (fixed-point hue differences);
+    hue wraparound is benign because hue is circular in RGB.
+    """
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - mn
+    safe = jnp.where(diff > 0, diff, 1.0)
+    h = jnp.where(
+        v == r, 60.0 * (g - b) / safe,
+        jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe,
+                  240.0 + 60.0 * (r - g) / safe))
+    h = jnp.where(diff > 0, jnp.where(h < 0, h + 360.0, h), 0.0)
+    h_u8 = jnp.round(h / 2.0) % 180.0                  # cv2 uint8 hue
+    s_u8 = jnp.round(jnp.where(v > 0, 255.0 * diff / jnp.maximum(v, 1.0),
+                               0.0))
+    v_u8 = v                                           # already uint8 grid
+
+    h2 = jnp.floor((h_u8 * gains[0]) % 180.0)          # LUTs truncate
+    s2 = jnp.floor(jnp.clip(s_u8 * gains[1], 0.0, 255.0))
+    v2 = jnp.floor(jnp.clip(v_u8 * gains[2], 0.0, 255.0))
+
+    # HSV (uint8 grid) -> RGB, cv2 semantics: H2*2 degrees, S in [0,1]
+    hh = h2 * 2.0 / 60.0
+    i = jnp.floor(hh)
+    f = hh - i
+    sf = s2 / 255.0
+    p = v2 * (1.0 - sf)
+    q = v2 * (1.0 - sf * f)
+    t = v2 * (1.0 - sf * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [v2, q, p, p, t, v2])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [t, v2, v2, q, p, p])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [p, p, t, v2, v2, q])
+    return jnp.round(jnp.stack([r2, g2, b2], axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def augment_batch(srcs, params, out_size: int = 640):
+    """The full device augmentation program.
+
+    Args:
+      srcs: (B, 4, St, St, 3) uint8 staged sources (native
+        `load_batch_scaled`: long side == St, top-left anchored).
+      params: dict of per-image draws (host sampler):
+        inv_scale (B,), off_x/off_y/lo_x/hi_x/lo_y/hi_y (B, 4),
+        hsv_gains (B, 3), flip_lr (B,) bool, flip_ud (B,) bool.
+    Returns (B, S, S, 3) uint8 RGB — the __getitem__ image contract.
+    """
+    fn = functools.partial(_mosaic_affine_one, out_size=out_size)
+    imgs = jax.vmap(fn)(srcs, params["inv_scale"], params["off_x"],
+                        params["off_y"], params["lo_x"], params["hi_x"],
+                        params["lo_y"], params["hi_y"])
+    # the host path rounds to uint8 after the warp, before HSV — the
+    # HSV LUT math assumes channel values on the uint8 grid
+    imgs = jnp.round(imgs)
+    imgs = jax.vmap(hsv_jitter_device)(imgs, params["hsv_gains"])
+    flip_ud = params["flip_ud"][:, None, None, None]
+    flip_lr = params["flip_lr"][:, None, None, None]
+    imgs = jnp.where(flip_ud, imgs[:, ::-1, :, :], imgs)
+    imgs = jnp.where(flip_lr, imgs[:, :, ::-1, :], imgs)
+    return jnp.clip(imgs, 0.0, 255.0).astype(jnp.uint8)

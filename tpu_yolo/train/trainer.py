@@ -122,6 +122,19 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                         num_workers=args.workers, drop_last=True,
                         sampler=sampler)
 
+    # Device-augment path: raw staged sources + transform params on
+    # host, all pixel work (mosaic/affine/HSV/flips) in one jitted
+    # program (ops/augment_device.py). The final-10-epoch mosaic cutoff
+    # (reference main.py:109-110) switches back to the host loader,
+    # whose no-mosaic branch the device path does not reimplement.
+    dev_loader = None
+    if getattr(args, "device_augment", False):
+        from tpu_yolo.data.device_augment import DeviceAugmentLoader
+        dev_loader = DeviceAugmentLoader(
+            filenames, args.input_size, hyp, global_bs // n_hosts,
+            cache_path=os.path.join(args.data_dir, "train2017.cache.npy"),
+            threads=args.workers, seed=getattr(args, "seed", 0))
+
     num_steps = len(loader)
     schedule = optim.linear_lr(args.epochs, num_steps, hyp)
     optim.plot_lr(schedule, os.path.join(args.save_dir, "lr.png"))
@@ -156,14 +169,31 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
             if args.epochs - epoch == 10:
                 dataset.mosaic = False  # reference main.py:109-110
 
+            # mirror the host trigger above: mosaic turns off only when
+            # the "10 epochs remain" point is actually crossed (runs
+            # shorter than 10 epochs keep mosaic throughout)
+            mosaic_on = args.epochs - epoch > 10 or args.epochs < 10
+            active = dev_loader if (dev_loader is not None and mosaic_on) \
+                else loader
+            active.set_epoch(epoch)
+
             meters = {k: AverageMeter() for k in ("box", "cls", "dfl")}
-            it = loader
+            it = active
             if is_rank0:
                 import tqdm
-                it = tqdm.tqdm(loader, total=num_steps,
+                it = tqdm.tqdm(active, total=num_steps,
                                desc=f"epoch {epoch + 1}/{args.epochs}")
 
-            for i, (images, targets) in enumerate(it):
+            for i, batch in enumerate(it):
+                if active is dev_loader:
+                    staged, aug_params, targets = batch
+                    from tpu_yolo.ops.augment_device import augment_batch
+                    images = augment_batch(
+                        jnp.asarray(staged),
+                        jax.tree_util.tree_map(jnp.asarray, aug_params),
+                        out_size=args.input_size)
+                else:
+                    images, targets = batch
                 step = i + num_steps * epoch
                 lr = float(schedule[min(step, len(schedule) - 1)])
                 apply_update = (step % accumulate) == 0
