@@ -14,11 +14,15 @@ statistics inside the jitted train step are means over the *global*
 batch axis, so XLA inserts the same cross-chip reduction DDP's SyncBN
 performs explicitly.
 
-A second mesh axis ``model`` is plumbed through for tensor-style
-sharding of the widest head convolutions at very large scale; at the
-reference's model sizes it stays size 1 (pure DP) — matching the
-reference's single parallelism strategy (SURVEY.md §2) while leaving the
-mesh shape a config knob rather than a code change.
+A second mesh axis ``model`` carries channel tensor-parallelism:
+`shard_model_parallel` splits every wide conv kernel's output channels
+(plus its bias/BN vectors and the optimizer/EMA mirrors) over the axis
+and GSPMD inserts the all-gather/psum collectives a hand-written
+Megatron implementation would place. The reference has only DP
+(SURVEY.md §2); at its model sizes pure DP (n_model=1) remains the
+default, with TP a mesh-shape knob for larger variants — exercised by
+tests/test_parallel.py::test_tensor_parallel_train_step and the
+driver's dp x tp dryrun (__graft_entry__.py).
 """
 from __future__ import annotations
 
@@ -85,3 +89,33 @@ class DataParallel:
     def replicate(self, tree):
         s = replicated_sharding(self.mesh)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    # -- tensor parallelism over the `model` axis ----------------------
+
+    def model_sharding_spec(self, x, min_channels: int = 256):
+        """NamedSharding for one array under channel tensor-parallelism.
+
+        Megatron-style column sharding expressed the XLA way: any array
+        whose last dimension is wide enough and divisible by the model
+        axis is split on that dimension — conv kernels (H, W, I, O) on
+        O, their bias/BN vectors (O,) alongside, and the optimizer/EMA
+        mirrors automatically (same shapes). Everything else (narrow
+        layers, scalars) replicates. GSPMD then propagates activation
+        shardings and inserts the all-gather/psum collectives a
+        hand-written TP implementation would place — see
+        ARCHITECTURE.md §5: annotate placement, let XLA do collectives.
+        """
+        n = self.mesh.shape["model"]
+        shape = getattr(x, "shape", ())
+        if (n > 1 and len(shape) >= 1 and shape[-1] >= min_channels
+                and shape[-1] % n == 0):
+            spec = P(*([None] * (len(shape) - 1) + ["model"]))
+            return NamedSharding(self.mesh, spec)
+        return replicated_sharding(self.mesh)
+
+    def shard_model_parallel(self, tree, min_channels: int = 256):
+        """Place a param/state pytree under channel tensor-parallelism
+        (replicate() when the model axis is size 1)."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, self.model_sharding_spec(x, min_channels)), tree)
