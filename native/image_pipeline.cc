@@ -304,13 +304,17 @@ static int load_batch_staged(Pipeline* pl, const char** paths, int n,
         std::vector<uint8_t> scaled;
         const uint8_t* src = rgb.data();
         if (resize) {
-          const float d = static_cast<float>(stage) / (h > w ? h : w);
+          // double, not float: the Python-side mirrors (load_image,
+          // device_augment._scan_staged_dims) compute the ratio in
+          // float64, and int(532 * (640.f/532)) = 639 != 640 — a
+          // one-pixel dims divergence for ~2.5% of long-side values.
+          const double d = static_cast<double>(stage) / (h > w ? h : w);
           if (scale_mode == 1) {
             sh = static_cast<int>(h * d);
             sw = static_cast<int>(w * d);
           } else {
-            sh = static_cast<int>(std::lroundf(h * d));
-            sw = static_cast<int>(std::lroundf(w * d));
+            sh = static_cast<int>(std::lround(h * d));
+            sw = static_cast<int>(std::lround(w * d));
           }
           if (sh > stage) sh = stage;
           if (sw > stage) sw = stage;

@@ -252,6 +252,81 @@ def test_device_augment_loader(tmp_path):
     assert (box >= 0).all() and (box <= 1).all()
 
 
+def test_scaled_staging_dims_match_python_exactly():
+    """The C++ prescale must reproduce load_image's float64 truncated
+    dims bit-for-bit — a float32 ratio gives int(532 * (640.f/532)) =
+    639 != 640 (code-review regression)."""
+    from tpu_yolo.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    import tempfile, os
+
+    pipe = native_loader.NativePipeline(640, threads=2)
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(8)
+    paths, expect = [], []
+    for h, w in [(532, 300), (299, 200), (77, 40), (640, 479), (133, 133)]:
+        p = os.path.join(d, f"{h}x{w}.jpg")
+        cv2.imwrite(p, rng.integers(0, 256, (h, w, 3), np.uint8))
+        paths.append(p)
+        r = 640 / max(h, w)
+        expect.append((h, w) if r == 1 else (int(h * r), int(w * r)))
+    _, dims, nfail = pipe.load_batch_scaled(paths, 640)
+    assert nfail == 0
+    got = [(int(a), int(b)) for a, b in dims[:, :2]]
+    # note int-trunc means the long side can be stage-1 (e.g. 299 ->
+    # int(299 * (640/299)) = 639) — that IS the load_image contract
+    assert got == expect
+
+
+def test_loader_drops_labels_of_failed_decodes(tmp_path):
+    """A jpeg whose header parses but whose body is truncated: the
+    quadrant is zeroed AND its labels are dropped (never train boxes on
+    black pixels — code-review regression)."""
+    from tpu_yolo.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    from tpu_yolo.data.device_augment import DeviceAugmentLoader
+
+    rng = np.random.default_rng(9)
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    files = []
+    for i in range(4):
+        p = str(img_dir / f"im{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 256, (90, 120, 3), np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        files.append(p)
+
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.0, "flip_lr": 0.0,
+           "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "mix_up": 0.0}
+    loader = DeviceAugmentLoader(files, S, hyp, batch_size=4, threads=2)
+    # the file goes bad AFTER verification/size-scan (the on-disk-rot /
+    # concurrent-write case the load-time check exists for)
+    # deep truncation (into the header tables): libjpeg treats a cut
+    # scan body as a warning and decodes partial pixels, but a cut
+    # header is a hard decode failure
+    blob = open(files[2], "rb").read()
+    open(files[2], "wb").write(blob[:120])
+    staged, params, targets = next(iter(loader))
+
+    # every mosaic uses all 4 sources (each primary + 3 picks from 4);
+    # with a full batch the truncated file appears somewhere
+    bad_slots = [(b, q) for b in range(4) for q in range(4)
+                 if not staged[b, q].any()]
+    assert bad_slots, "truncated jpeg never drawn (fixture broken)"
+    for b, q in bad_slots:
+        assert params["hi_x"][b, q] == params["lo_x"][b, q] == 0
+
+    # labels: at most 4 per sample, and strictly fewer for samples with
+    # a failed quadrant that had survived boxes is hard to assert
+    # exactly; assert total labels < full 4-per-mosaic upper bound
+    idx = np.asarray(targets["idx"])
+    assert len(idx) <= 16 - len({b for b, _ in bad_slots})
+
+
 def test_augment_batch_end_to_end_shapes():
     """Full jitted program: staged sources + sampled params -> uint8
     batch; flips verified exactly against manual flip."""

@@ -46,33 +46,52 @@ def _mosaic_placement(quadrant, xc, yc, w, h, size):
     return (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b)
 
 
-def sample_mosaic(rng: _random.Random, np_rng: np.random.Generator,
-                  index: int, n_images: int, dims_of, label_of,
-                  size: int, hyp: dict):
-    """One output image's draws.
-
-    dims_of(i) -> (staged_h, staged_w); label_of(i) -> (N, 5) normalized
-    [cls, cx, cy, w, h]. Returns (source_indices (4,), device params
-    dict of scalars/(4,) arrays, labels (M, 5) [cls + normalized
-    cxcywh] in the __getitem__ contract — flips already applied).
-    """
+def draw_mosaic(rng: _random.Random, np_rng: np.random.Generator,
+                index: int, n_images: int, hyp: dict, size: int) -> dict:
+    """Consume the RNG for one output image (placement center, source
+    picks, affine, flips, HSV gains) — separated from assembly so the
+    labels/params can be re-assembled with a quadrant dropped when its
+    decode fails at load time."""
     border = size // 2
-    xc = int(rng.uniform(border, 2 * size - border))
-    yc = int(rng.uniform(border, 2 * size - border))
+    draw = {
+        "xc": int(rng.uniform(border, 2 * size - border)),
+        "yc": int(rng.uniform(border, 2 * size - border)),
+    }
     indices = [index] + rng.choices(range(n_images), k=3)
     rng.shuffle(indices)
+    draw["indices"] = indices
+    draw["s"] = rng.uniform(1 - hyp["scale"], 1 + hyp["scale"])
+    draw["tx"] = rng.uniform(0.5 - hyp["translate"],
+                             0.5 + hyp["translate"]) * size
+    draw["ty"] = rng.uniform(0.5 - hyp["translate"],
+                             0.5 + hyp["translate"]) * size
+    draw["flip_ud"] = rng.random() < hyp["flip_ud"]
+    draw["flip_lr"] = rng.random() < hyp["flip_lr"]
+    draw["gains"] = (np_rng.uniform(-1, 1, 3)
+                     * [hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"]] + 1)
+    return draw
 
-    s = rng.uniform(1 - hyp["scale"], 1 + hyp["scale"])
-    tx = rng.uniform(0.5 - hyp["translate"], 0.5 + hyp["translate"]) * size
-    ty = rng.uniform(0.5 - hyp["translate"], 0.5 + hyp["translate"]) * size
+
+def assemble_mosaic(draw: dict, dims_of, label_of, size: int,
+                    failed=frozenset()):
+    """Turn one draw into device params + labels.
+
+    dims_of(i) -> (staged_h, staged_w); label_of(i) -> (N, 5) normalized
+    [cls, cx, cy, w, h]. `failed` quadrant indices get zero taps and
+    contribute no labels (load-time decode failures). Returns (device
+    params dict, cls (M,1), box (M,4) normalized cxcywh — flips already
+    applied, the __getitem__ contract).
+    """
+    xc, yc = draw["xc"], draw["yc"]
+    s, tx, ty = draw["s"], draw["tx"], draw["ty"]
 
     off_x, off_y = np.zeros(4, np.float32), np.zeros(4, np.float32)
     lo_x, hi_x = np.zeros(4, np.float32), np.zeros(4, np.float32)
     lo_y, hi_y = np.zeros(4, np.float32), np.zeros(4, np.float32)
     merged = []
-    for q, idx in enumerate(indices):
+    for q, idx in enumerate(draw["indices"]):
         h, w = dims_of(idx)
-        if h <= 0:  # decode failure: empty quadrant
+        if h <= 0 or q in failed:  # decode failure: empty quadrant
             continue
         (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b) = _mosaic_placement(
             q, xc, yc, int(w), int(h), size)
@@ -102,23 +121,29 @@ def sample_mosaic(rng: _random.Random, np_rng: np.random.Generator,
     box = (corners_to_norm(label4[:, 1:5], size, size) if len(label4)
            else label4[:, 1:5].copy())
 
-    flip_ud = rng.random() < hyp["flip_ud"]
-    flip_lr = rng.random() < hyp["flip_lr"]
-    if flip_ud and len(box):
+    if draw["flip_ud"] and len(box):
         box[:, 1] = 1 - box[:, 1]
-    if flip_lr and len(box):
+    if draw["flip_lr"] and len(box):
         box[:, 0] = 1 - box[:, 0]
 
-    gains = (np_rng.uniform(-1, 1, 3)
-             * [hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"]] + 1)
     params = {
         "inv_scale": np.float32(1.0 / s),
         "off_x": off_x, "off_y": off_y,
         "lo_x": lo_x, "hi_x": hi_x, "lo_y": lo_y, "hi_y": hi_y,
-        "hsv_gains": gains.astype(np.float32),
-        "flip_lr": flip_lr, "flip_ud": flip_ud,
+        "hsv_gains": draw["gains"].astype(np.float32),
+        "flip_lr": draw["flip_lr"], "flip_ud": draw["flip_ud"],
     }
-    return indices, params, cls.astype(np.float32), box.astype(np.float32)
+    return params, cls.astype(np.float32), box.astype(np.float32)
+
+
+def sample_mosaic(rng: _random.Random, np_rng: np.random.Generator,
+                  index: int, n_images: int, dims_of, label_of,
+                  size: int, hyp: dict):
+    """draw_mosaic + assemble_mosaic in one call (the no-failure path;
+    returns (source_indices, params, cls, box))."""
+    draw = draw_mosaic(rng, np_rng, index, n_images, hyp, size)
+    params, cls, box = assemble_mosaic(draw, dims_of, label_of, size)
+    return draw["indices"], params, cls, box
 
 
 class DeviceAugmentLoader:
@@ -137,7 +162,11 @@ class DeviceAugmentLoader:
 
     def __init__(self, filenames, input_size: int, hyp: dict,
                  batch_size: int, cache_path: str | None = None,
-                 threads: int = 8, seed: int = 0):
+                 threads: int = 8, seed: int = 0,
+                 num_shards: int = 1, shard: int = 0):
+        """num_shards/shard: multi-host partition — each process must
+        see a disjoint slice of the (identically shuffled) order, the
+        ShardSampler contract; batch_size is the per-host batch."""
         from tpu_yolo.data import native_loader
 
         if not native_loader.available():
@@ -154,6 +183,8 @@ class DeviceAugmentLoader:
         self.hyp = hyp
         self.batch_size = batch_size
         self.seed = seed
+        self.num_shards = max(num_shards, 1)
+        self.shard = shard
         self._epoch = 0
         self._pipe = native_loader.NativePipeline(input_size,
                                                  threads=threads)
@@ -193,7 +224,7 @@ class DeviceAugmentLoader:
         return staged
 
     def __len__(self):
-        return len(self.filenames) // self.batch_size
+        return (len(self.filenames) // self.num_shards) // self.batch_size
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -206,20 +237,33 @@ class DeviceAugmentLoader:
         st = self.input_size
         n = len(self.filenames)
 
-        draws = [sample_mosaic(rng, np_rng, p, n, self._staged_dims,
-                               lambda i: self.labels[i], st, self.hyp)
+        draws = [draw_mosaic(rng, np_rng, p, n, self.hyp, st)
                  for p in primaries]
-        flat_idx = [i for d in draws for i in d[0]]
-        staged, dims, _ = self._pipe.load_batch_scaled(
+        flat_idx = [i for d in draws for i in d["indices"]]
+        staged, dims, nfail = self._pipe.load_batch_scaled(
             [self.filenames[i] for i in flat_idx], st)
         staged = staged.reshape(bs, 4, st, st, 3)
 
+        # quadrants whose decode failed at load time (header read fine,
+        # body corrupt): zero taps, no labels — never train boxes on a
+        # black quadrant
+        failed_by_sample = [frozenset()] * bs
+        if nfail:
+            bad = np.flatnonzero(dims[:, 0] < 0)
+            failed_by_sample = [
+                frozenset(int(j % 4) for j in bad if j // 4 == i)
+                for i in range(bs)]
+
+        outs = [assemble_mosaic(d, self._staged_dims,
+                                lambda i: self.labels[i], st,
+                                failed=failed_by_sample[k])
+                for k, d in enumerate(draws)]
         params = {
-            k: np.stack([np.asarray(d[1][k]) for d in draws])
-            for k in draws[0][1]
+            k: np.stack([np.asarray(o[0][k]) for o in outs])
+            for k in outs[0][0]
         }
-        cls = [d[2] for d in draws]
-        box = [d[3] for d in draws]
+        cls = [o[1] for o in outs]
+        box = [o[2] for o in outs]
         idx = [np.full(len(c), i, dtype=np.float32)
                for i, c in enumerate(cls)]  # 1-D, the collate() contract
         targets = {
@@ -231,9 +275,14 @@ class DeviceAugmentLoader:
 
     def __iter__(self):
         rng = _random.Random(self.seed + self._epoch)
-        np_rng = np.random.default_rng(self.seed + self._epoch)
+        np_rng = np.random.default_rng(
+            (self.seed + self._epoch) * self.num_shards + self.shard)
         order = list(range(len(self.filenames)))
-        rng.shuffle(order)
+        rng.shuffle(order)          # same order on every host...
+        order = order[self.shard::self.num_shards]  # ...disjoint slices
+        # decorrelate the per-host draw streams after the shared shuffle
+        rng = _random.Random((self.seed + self._epoch) * self.num_shards
+                             + self.shard)
 
         # one-deep prefetch: stage batch i+1 (C++ pool, GIL-free) while
         # the device trains on batch i

@@ -198,17 +198,24 @@ class Detector:
     @staticmethod
     def _metas_from_dims(dims: np.ndarray, out_size: int) -> np.ndarray:
         """Host mirror of the device letterbox geometry, combined with
-        the host pre-shrink: (N,4) dims -> (N,5) [r_total, pad_w, pad_h,
-        orig_w, orig_h] in the _emit/native-loader meta contract."""
-        metas = np.full((len(dims), 5), -1, np.float32)
-        for i, (sh, sw, oh, ow) in enumerate(np.asarray(dims, np.float32)):
+        the host pre-shrink: (N,4) dims -> (N,6) [rx, pad_w, pad_h,
+        orig_w, orig_h, ry] in the _emit meta contract.
+
+        The host pre-shrink rounds each axis separately, so the total
+        ratio differs per axis by up to ~1px on large originals: a 6th
+        column carries the y-axis ratio (column 0 is the x ratio);
+        _emit falls back to column 0 for 5-column (native-loader)
+        metas."""
+        metas = np.full((len(dims), 6), -1, np.float32)
+        for i, (sh, sw, oh, ow) in enumerate(np.asarray(dims, np.float64)):
             if sh < 0:
                 continue
             r = min(out_size / sh, out_size / sw)
             new_w, new_h = round(sw * r), round(sh * r)
-            d = sw / ow if ow else 1.0
-            metas[i] = (r * d, (out_size - new_w) / 2,
-                        (out_size - new_h) / 2, ow, oh)
+            dx = sw / ow if ow else 1.0
+            dy = sh / oh if oh else 1.0
+            metas[i] = (r * dx, (out_size - new_w) / 2,
+                        (out_size - new_h) / 2, ow, oh, r * dy)
         return metas
 
     # -- inference --------------------------------------------------------
@@ -265,9 +272,10 @@ class Detector:
                        "classes": np.zeros(0, np.int32), "error": "decode"}
                 continue
             if rescale and n:
-                r, pw, ph, ow, oh = metas[i]
+                r, pw, ph, ow, oh = metas[i][:5]
+                ry = metas[i][5] if metas.shape[1] > 5 else r
                 boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pw) / r
-                boxes[:, [1, 3]] = (boxes[:, [1, 3]] - ph) / r
+                boxes[:, [1, 3]] = (boxes[:, [1, 3]] - ph) / ry
                 boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, ow)
                 boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, oh)
             yield {"path": path, "boxes": boxes,

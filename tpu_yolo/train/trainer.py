@@ -133,7 +133,8 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
         dev_loader = DeviceAugmentLoader(
             filenames, args.input_size, hyp, global_bs // n_hosts,
             cache_path=os.path.join(args.data_dir, "train2017.cache.npy"),
-            threads=args.workers, seed=getattr(args, "seed", 0))
+            threads=args.workers, seed=getattr(args, "seed", 0),
+            num_shards=n_hosts, shard=jax.process_index())
 
     num_steps = len(loader)
     schedule = optim.linear_lr(args.epochs, num_steps, hyp)
@@ -188,9 +189,13 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                 if active is dev_loader:
                     staged, aug_params, targets = batch
                     from tpu_yolo.ops.augment_device import augment_batch
+                    # shard staging + params over the data axis FIRST so
+                    # the augment program runs SPMD next to the train
+                    # step instead of serializing on one chip
                     images = augment_batch(
-                        jnp.asarray(staged),
-                        jax.tree_util.tree_map(jnp.asarray, aug_params),
+                        put(jnp.asarray(staged)),
+                        jax.tree_util.tree_map(
+                            lambda x: put(jnp.asarray(x)), aug_params),
                         out_size=args.input_size)
                 else:
                     images, targets = batch

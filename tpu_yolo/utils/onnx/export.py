@@ -76,8 +76,9 @@ def _reshape(g, x, shape):
 class _Converter:
     def __init__(self):
         self.g = _Graph()
-        self.names = {}     # jaxpr Var -> onnx value name
-        self.consts = {}    # jaxpr Var -> np.ndarray (statically known)
+        self.names = {}       # jaxpr Var -> onnx value name
+        self.consts = {}      # jaxpr Var -> np.ndarray (statically known)
+        self.const_hints = {}  # jaxpr Var -> initializer name hint
 
     # -- value access ------------------------------------------------------
     def known(self, v):
@@ -92,8 +93,9 @@ class _Converter:
             return self.g.init(np.asarray(v.val), hint="lit")
         if v in self.names:
             return self.names[v]
-        # a folded constant used by a non-foldable eqn -> initializer
-        n = self.g.init(self.consts[v], hint="c")
+        # a folded constant used by a non-foldable eqn -> initializer,
+        # keeping the param path as its name when it is a param leaf
+        n = self.g.init(self.consts[v], name=self.const_hints.get(v))
         self.names[v] = n
         return n
 
@@ -104,6 +106,7 @@ class _Converter:
             self.consts[var] = np.asarray(cv)
         for var, (pname, arr) in param_leaves.items():
             self.consts[var] = np.asarray(arr)
+            self.const_hints[var] = pname
         self.convert_eqns(jaxpr.eqns)
         return self.g
 
@@ -158,6 +161,11 @@ class _Converter:
         outs = out if eqn.primitive.multiple_results else [out]
         for var, val in zip(eqn.outvars, outs):
             self.consts[var] = np.asarray(val)
+        # keep a param leaf's name through 1:1 folds (dtype casts etc.)
+        if (len(eqn.invars) == 1 and len(eqn.outvars) == 1
+                and eqn.invars[0] in self.const_hints):
+            self.const_hints[eqn.outvars[0]] = \
+                self.const_hints[eqn.invars[0]]
 
     # -- elementwise -------------------------------------------------------
     def _binop(self, eqn, op):
@@ -390,8 +398,13 @@ class _Converter:
         x, w = eqn.invars
         xn = _perm_name(self.g, self.name(x), (0, 3, 1, 2))  # NHWC->NCHW
         if self.known(w):
-            wn = self.g.init(
-                np.transpose(self.value(w), (3, 2, 0, 1)), hint="w")
+            if not hasattr(self, "_conv_w"):
+                self._conv_w = {}
+            if w not in self._conv_w:
+                self._conv_w[w] = self.g.init(
+                    np.transpose(self.value(w), (3, 2, 0, 1)),
+                    name=self.const_hints.get(w), hint="w")
+            wn = self._conv_w[w]
         else:
             wn = _perm_name(self.g, self.name(w), (3, 2, 0, 1))
         (pt, pb), (pl, pr) = p["padding"]
