@@ -64,7 +64,7 @@ def build_padded_targets(targets: dict, batch_size: int, max_gt: int,
 # results (the assignment is per-image), bounded peak HBM. 64M elements
 # keeps bs64/N64/A8400 (34M) in the fast unchunked path; bs128/N512
 # (550M, the round-1 memory cliff, PARITY.md:90-92) runs chunked.
-ASSIGN_ELEM_BUDGET = 64 * 1024 * 1024
+ASSIGN_ELEM_BUDGET = 160 * 1024 * 1024
 
 
 def _topk_indices_by_argmax(x, k: int):
