@@ -252,6 +252,61 @@ def test_device_augment_loader(tmp_path):
     assert (box >= 0).all() and (box <= 1).all()
 
 
+def test_plain_path_matches_host_oracle():
+    """No-mosaic device path (letterbox -> affine -> flips) vs the
+    literal host else-branch: cv2 letterbox (INTER_LINEAR) +
+    cv2.warpAffine with the same draws; labels via the shared math."""
+    from tpu_yolo.data.device_augment import assemble_plain
+    from tpu_yolo.ops.augment_device import plain_augment_batch
+
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.0, "flip_lr": 0.0,
+           "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0}
+    rng = np.random.default_rng(11)
+    dims = [(128, 96), (72, 128), (100, 100)]
+    staged, imgs = _sources(rng, dims)
+
+    draws = [{"s": s_, "tx": tx_ * S, "ty": ty_ * S, "flip_ud": False,
+              "flip_lr": False, "gains": np.ones(3)}
+             for s_, tx_, ty_ in [(0.8, 0.52, 0.47), (1.3, 0.45, 0.55),
+                                  (1.0, 0.5, 0.5)]]
+    label = np.array([[1, 0.5, 0.5, 0.5, 0.5]], np.float32)
+    outs = [assemble_plain(d, dims[i], label, S)
+            for i, d in enumerate(draws)]
+    params = {k: np.stack([np.asarray(o[0][k]) for o in outs])
+              for k in outs[0][0]}
+    hw = np.asarray(dims, np.float32)
+
+    got = np.asarray(plain_augment_batch(
+        jnp.asarray(staged), jnp.asarray(hw),
+        jax.tree_util.tree_map(jnp.asarray, params), out_size=S))
+
+    for i, (img, d) in enumerate(zip(imgs, draws)):
+        h, w = img.shape[:2]
+        r = min(S / h, S / w)
+        new_w, new_h = int(round(w * r)), int(round(h * r))
+        boxed = cv2.resize(img, (new_w, new_h),
+                           interpolation=cv2.INTER_LINEAR) \
+            if (new_w, new_h) != (w, h) else img
+        top = int(round((S - new_h) / 2 - 0.1))
+        left = int(round((S - new_w) / 2 - 0.1))
+        canvas = np.zeros((S, S, 3), np.uint8)
+        canvas[top:top + new_h, left:left + new_w] = boxed
+        s_ = d["s"]
+        M = np.array([[s_, 0, d["tx"] - s_ * S / 2],
+                      [0, s_, d["ty"] - s_ * S / 2]], np.float64)
+        want = cv2.warpAffine(canvas, M, dsize=(S, S), borderValue=(0,) * 3)
+        diff = np.abs(got[i].astype(np.int16) - want.astype(np.int16))
+        assert diff.mean() < 1.5, (i, diff.mean())
+        assert np.quantile(diff, 0.99) <= 6, i
+
+        # labels: box must sit where the pixels went (affine of the
+        # letterboxed box, normalized)
+        _, cls_i, box_i = outs[i]
+        assert cls_i.shape == (1, 1) and box_i.shape == (1, 4)
+        cx = ((0.5 * w * r + left) * s_ + M[0, 2]) / S
+        assert box_i[0, 0] == pytest.approx(cx, abs=2e-2)
+
+
 def test_scaled_staging_dims_match_python_exactly():
     """The C++ prescale must reproduce load_image's float64 truncated
     dims bit-for-bit — a float32 ratio gives int(532 * (640.f/532)) =

@@ -146,18 +146,76 @@ def sample_mosaic(rng: _random.Random, np_rng: np.random.Generator,
     return draw["indices"], params, cls, box
 
 
+def draw_plain(rng: _random.Random, np_rng: np.random.Generator,
+               hyp: dict, size: int) -> dict:
+    """RNG draws for the no-mosaic path (letterbox + affine on one
+    source; the host __getitem__ else-branch)."""
+    return {
+        "s": rng.uniform(1 - hyp["scale"], 1 + hyp["scale"]),
+        "tx": rng.uniform(0.5 - hyp["translate"],
+                          0.5 + hyp["translate"]) * size,
+        "ty": rng.uniform(0.5 - hyp["translate"],
+                          0.5 + hyp["translate"]) * size,
+        "flip_ud": rng.random() < hyp["flip_ud"],
+        "flip_lr": rng.random() < hyp["flip_lr"],
+        "gains": (np_rng.uniform(-1, 1, 3)
+                  * [hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"]] + 1),
+    }
+
+
+def assemble_plain(draw: dict, staged_hw, label, size: int, failed=False):
+    """Plain-path params + labels for one sample.
+
+    Mirrors __getitem__'s else-branch label math: letterbox geometry
+    (data/image.py, upscale allowed in train) then the random_affine
+    label warp with center -size/2 (letterboxed image is size x size).
+    """
+    sh, sw = staged_hw
+    s, tx, ty = draw["s"], draw["tx"], draw["ty"]
+    params = {
+        "inv_scale": np.float32(1.0 / s),
+        # x_canvas = (x_out - tx)/s + size/2  (warpAffine inverse)
+        "off_x": np.float32(size / 2 - tx / s),
+        "off_y": np.float32(size / 2 - ty / s),
+        "hsv_gains": draw["gains"].astype(np.float32),
+        "flip_lr": draw["flip_lr"], "flip_ud": draw["flip_ud"],
+    }
+    if failed or sh <= 0 or len(label) == 0:
+        z = np.zeros((0, 1), np.float32)
+        return params, z, np.zeros((0, 4), np.float32)
+
+    r = min(size / sh, size / sw)
+    new_w, new_h = int(round(sw * r)), int(round(sh * r))
+    pad_w, pad_h = (size - new_w) / 2, (size - new_h) / 2
+    lab = label.copy()
+    lab[:, 1:] = denorm_corners(lab[:, 1:], r * sw, r * sh, pad_w, pad_h)
+
+    matrix = np.array([[s, 0.0, tx - s * size / 2],
+                       [0.0, s, ty - s * size / 2],
+                       [0.0, 0.0, 1.0]])
+    lab = warp_labels_affine(lab, matrix, s, size, size)
+
+    cls = lab[:, 0:1].copy()
+    box = (corners_to_norm(lab[:, 1:5], size, size) if len(lab)
+           else lab[:, 1:5].copy())
+    if draw["flip_ud"] and len(box):
+        box[:, 1] = 1 - box[:, 1]
+    if draw["flip_lr"] and len(box):
+        box[:, 0] = 1 - box[:, 0]
+    return params, cls.astype(np.float32), box.astype(np.float32)
+
+
 class DeviceAugmentLoader:
     """Train loader for the device-augment path.
 
-    Yields (staged (B, 4, St, St, 3) uint8, params dict of (B, ...)
-    arrays, targets {cls, box, idx}) — images come out of
-    ops/augment_device.py::augment_batch(staged, params) on device;
-    targets are already in the collate() contract. Requires the native
-    loader (ip_load_batch_scaled); raises otherwise.
-
-    Gated on the mosaic path: the reference disables mosaic for the
-    final 10 epochs (main.py:109-110) — the trainer switches back to
-    the host DataLoader there (train/trainer.py).
+    With `mosaic` True (default) yields (staged (B, 4, St, St, 3)
+    uint8, params, targets) for augment_batch; with `mosaic` False
+    (the trainer flips it for the reference's final-10-epochs cutoff,
+    main.py:109-110) yields (staged (B, St, St, 3), hw (B, 2), params,
+    targets) for plain_augment_batch. targets are in the collate()
+    contract either way. Requires the native loader
+    (ip_load_batch_scaled); raises otherwise. hyp["mosaic"] must be
+    0 or 1 — per-sample fractional mosaic stays on the host loader.
     """
 
     def __init__(self, filenames, input_size: int, hyp: dict,
@@ -176,6 +234,10 @@ class DeviceAugmentLoader:
             raise NotImplementedError(
                 "device-augment does not support mix_up > 0 "
                 "(ops/augment_device.py docstring)")
+        if hyp.get("mosaic", 1.0) not in (0.0, 1.0):
+            raise NotImplementedError(
+                "device-augment supports mosaic prob 0 or 1; "
+                "fractional mosaic needs the host loader")
         labels = load_labels(list(filenames), cache_path)
         self.filenames = list(labels.keys())
         self.labels = list(labels.values())
@@ -185,6 +247,7 @@ class DeviceAugmentLoader:
         self.seed = seed
         self.num_shards = max(num_shards, 1)
         self.shard = shard
+        self.mosaic = hyp.get("mosaic", 1.0) > 0
         self._epoch = 0
         self._pipe = native_loader.NativePipeline(input_size,
                                                  threads=threads)
@@ -258,6 +321,11 @@ class DeviceAugmentLoader:
                                 lambda i: self.labels[i], st,
                                 failed=failed_by_sample[k])
                 for k, d in enumerate(draws)]
+        params, targets = self._collate_outs(outs)
+        return staged, params, targets
+
+    @staticmethod
+    def _collate_outs(outs):
         params = {
             k: np.stack([np.asarray(o[0][k]) for o in outs])
             for k in outs[0][0]
@@ -271,7 +339,21 @@ class DeviceAugmentLoader:
             "box": (np.concatenate(box) if box else np.zeros((0, 4), np.float32)),
             "idx": (np.concatenate(idx) if idx else np.zeros((0,), np.float32)),
         }
-        return staged, params, targets
+        return params, targets
+
+    def _make_batch_plain(self, primaries, rng, np_rng):
+        """No-mosaic batch: one source per sample; images composed by
+        plain_augment_batch(staged, hw, params)."""
+        st = self.input_size
+        draws = [draw_plain(rng, np_rng, self.hyp, st) for _ in primaries]
+        staged, dims, nfail = self._pipe.load_batch_scaled(
+            [self.filenames[i] for i in primaries], st)
+        outs = [assemble_plain(d, self._staged_dims(p), self.labels[p],
+                               st, failed=bool(dims[k, 0] < 0))
+                for k, (d, p) in enumerate(zip(draws, primaries))]
+        params, targets = self._collate_outs(outs)
+        hw = np.maximum(dims[:, :2], 1.0).astype(np.float32)
+        return staged, hw, params, targets
 
     def __iter__(self):
         rng = _random.Random(self.seed + self._epoch)
@@ -288,10 +370,12 @@ class DeviceAugmentLoader:
         # the device trains on batch i
         q: queue.Queue = queue.Queue(maxsize=1)
 
+        make = self._make_batch if self.mosaic else self._make_batch_plain
+
         def produce():
             for b in range(len(self)):
                 primaries = order[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(self._make_batch(primaries, rng, np_rng))
+                q.put(make(primaries, rng, np_rng))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

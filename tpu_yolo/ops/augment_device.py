@@ -136,6 +136,41 @@ def hsv_jitter_device(img, gains):
 
 
 @functools.partial(jax.jit, static_argnames=("out_size",))
+def plain_augment_batch(staged, hw, params, out_size: int = 640):
+    """The no-mosaic augmentation program (the reference's final-10-
+    epochs mode and the mosaic=0 hyperparameter): letterbox ->
+    random affine (scale+translate) -> HSV -> flips, mirroring the host
+    __getitem__ else-branch (data/dataset.py; reference
+    dataset.py:292-313 + random_perspective) with the same two-resample
+    structure (uint8 rounding between letterbox and affine).
+
+    staged: (B, St, St, 3) uint8 long-side-prescaled sources; hw (B, 2)
+    their true staged dims; params: inv_scale (B,), off_x/off_y (B,)
+    (the composed affine offsets), hsv_gains (B, 3), flip_lr/ud (B,).
+    """
+    from tpu_yolo.ops.letterbox import letterbox_batch
+
+    boxed, _ = letterbox_batch(staged, hw, out_size=out_size,
+                               allow_upscale=True)
+
+    def one(img, isc, ox, oy):
+        z, f = jnp.zeros(1, jnp.float32), jnp.full((1,), out_size,
+                                                   jnp.float32)
+        return _mosaic_affine_one(img[None], isc, ox[None], oy[None],
+                                  z, f, z, f, out_size=out_size)
+
+    imgs = jax.vmap(one)(boxed, params["inv_scale"], params["off_x"],
+                         params["off_y"])
+    imgs = jnp.round(imgs)
+    imgs = jax.vmap(hsv_jitter_device)(imgs, params["hsv_gains"])
+    flip_ud = params["flip_ud"][:, None, None, None]
+    flip_lr = params["flip_lr"][:, None, None, None]
+    imgs = jnp.where(flip_ud, imgs[:, ::-1, :, :], imgs)
+    imgs = jnp.where(flip_lr, imgs[:, :, ::-1, :], imgs)
+    return jnp.clip(imgs, 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
 def augment_batch(srcs, params, out_size: int = 640):
     """The full device augmentation program.
 

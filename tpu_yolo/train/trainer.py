@@ -174,8 +174,9 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
             # the "10 epochs remain" point is actually crossed (runs
             # shorter than 10 epochs keep mosaic throughout)
             mosaic_on = args.epochs - epoch > 10 or args.epochs < 10
-            active = dev_loader if (dev_loader is not None and mosaic_on) \
-                else loader
+            active = loader if dev_loader is None else dev_loader
+            if dev_loader is not None:
+                dev_loader.mosaic = mosaic_on and hyp.get("mosaic", 1.0) > 0
             active.set_epoch(epoch)
 
             meters = {k: AverageMeter() for k in ("box", "cls", "dfl")}
@@ -187,16 +188,25 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
 
             for i, batch in enumerate(it):
                 if active is dev_loader:
-                    staged, aug_params, targets = batch
-                    from tpu_yolo.ops.augment_device import augment_batch
+                    from tpu_yolo.ops.augment_device import (
+                        augment_batch, plain_augment_batch)
+
                     # shard staging + params over the data axis FIRST so
                     # the augment program runs SPMD next to the train
                     # step instead of serializing on one chip
-                    images = augment_batch(
-                        put(jnp.asarray(staged)),
-                        jax.tree_util.tree_map(
-                            lambda x: put(jnp.asarray(x)), aug_params),
-                        out_size=args.input_size)
+                    sput = lambda x: put(jnp.asarray(x))
+                    if len(batch) == 3:        # mosaic mode
+                        staged, aug_params, targets = batch
+                        images = augment_batch(
+                            sput(staged),
+                            jax.tree_util.tree_map(sput, aug_params),
+                            out_size=args.input_size)
+                    else:                      # plain (mosaic cutoff)
+                        staged, hw, aug_params, targets = batch
+                        images = plain_augment_batch(
+                            sput(staged), sput(hw),
+                            jax.tree_util.tree_map(sput, aug_params),
+                            out_size=args.input_size)
                 else:
                     images, targets = batch
                 step = i + num_steps * epoch
