@@ -30,6 +30,9 @@ def main():
     p.add_argument("--out", default="./detections", help="output dir")
     p.add_argument("--int8", action="store_true",
                    help="quantize (calibrates on the inputs)")
+    p.add_argument("--device-letterbox", action="store_true",
+                   help="host only decodes; resize+pad runs on device "
+                        "(ops/letterbox.py)")
     args = p.parse_args()
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -44,7 +47,8 @@ def main():
 
     det = Detector.from_checkpoint(args.weights, size=args.size,
                                    input_size=args.input_size,
-                                   conf_thres=args.conf, iou_thres=args.iou)
+                                   conf_thres=args.conf, iou_thres=args.iou,
+                                   device_letterbox=args.device_letterbox)
     if args.int8:
         det.quantize(args.images[: args.batch_size])
 

@@ -125,8 +125,8 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
     # Device-augment path: raw staged sources + transform params on
     # host, all pixel work (mosaic/affine/HSV/flips) in one jitted
     # program (ops/augment_device.py). The final-10-epoch mosaic cutoff
-    # (reference main.py:109-110) switches back to the host loader,
-    # whose no-mosaic branch the device path does not reimplement.
+    # (reference main.py:109-110) switches the loader to its plain
+    # (letterbox+affine) program, still on device.
     dev_loader = None
     if getattr(args, "device_augment", False):
         from tpu_yolo.data.device_augment import DeviceAugmentLoader
