@@ -259,16 +259,17 @@ def test_plain_path_matches_host_oracle():
     from tpu_yolo.data.device_augment import assemble_plain
     from tpu_yolo.ops.augment_device import plain_augment_batch
 
-    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.0, "flip_lr": 0.0,
-           "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0}
     rng = np.random.default_rng(11)
     dims = [(128, 96), (72, 128), (100, 100)]
     staged, imgs = _sources(rng, dims)
 
-    draws = [{"s": s_, "tx": tx_ * S, "ty": ty_ * S, "flip_ud": False,
-              "flip_lr": False, "gains": np.ones(3)}
-             for s_, tx_, ty_ in [(0.8, 0.52, 0.47), (1.3, 0.45, 0.55),
-                                  (1.0, 0.5, 0.5)]]
+    # last draw exercises both flips (pixel + label mirroring)
+    draws = [{"s": s_, "tx": tx_ * S, "ty": ty_ * S, "flip_ud": fu,
+              "flip_lr": fl, "gains": np.ones(3)}
+             for s_, tx_, ty_, fu, fl in [
+                 (0.8, 0.52, 0.47, False, False),
+                 (1.3, 0.45, 0.55, False, False),
+                 (1.0, 0.5, 0.5, True, True)]]
     label = np.array([[1, 0.5, 0.5, 0.5, 0.5]], np.float32)
     outs = [assemble_plain(d, dims[i], label, S)
             for i, d in enumerate(draws)]
@@ -295,16 +296,26 @@ def test_plain_path_matches_host_oracle():
         M = np.array([[s_, 0, d["tx"] - s_ * S / 2],
                       [0, s_, d["ty"] - s_ * S / 2]], np.float64)
         want = cv2.warpAffine(canvas, M, dsize=(S, S), borderValue=(0,) * 3)
+        if d["flip_ud"]:
+            want = want[::-1]
+        if d["flip_lr"]:
+            want = want[:, ::-1]
         diff = np.abs(got[i].astype(np.int16) - want.astype(np.int16))
         assert diff.mean() < 1.5, (i, diff.mean())
         assert np.quantile(diff, 0.99) <= 6, i
 
         # labels: box must sit where the pixels went (affine of the
-        # letterboxed box, normalized)
+        # letterboxed box, normalized; mirrored when flipped)
         _, cls_i, box_i = outs[i]
         assert cls_i.shape == (1, 1) and box_i.shape == (1, 4)
         cx = ((0.5 * w * r + left) * s_ + M[0, 2]) / S
+        cy = ((0.5 * h * r + top) * s_ + M[1, 2]) / S
+        if d["flip_lr"]:
+            cx = 1 - cx
+        if d["flip_ud"]:
+            cy = 1 - cy
         assert box_i[0, 0] == pytest.approx(cx, abs=2e-2)
+        assert box_i[0, 1] == pytest.approx(cy, abs=2e-2)
 
 
 def test_scaled_staging_dims_match_python_exactly():

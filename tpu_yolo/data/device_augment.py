@@ -117,14 +117,7 @@ def assemble_mosaic(draw: dict, dims_of, label_of, size: int,
                        [0.0, 0.0, 1.0]])
     label4 = warp_labels_affine(label4, matrix, s, size, size)
 
-    cls = label4[:, 0:1].copy()
-    box = (corners_to_norm(label4[:, 1:5], size, size) if len(label4)
-           else label4[:, 1:5].copy())
-
-    if draw["flip_ud"] and len(box):
-        box[:, 1] = 1 - box[:, 1]
-    if draw["flip_lr"] and len(box):
-        box[:, 0] = 1 - box[:, 0]
+    cls, box = _labels_to_targets(label4, size, draw)
 
     params = {
         "inv_scale": np.float32(1.0 / s),
@@ -133,7 +126,21 @@ def assemble_mosaic(draw: dict, dims_of, label_of, size: int,
         "hsv_gains": draw["gains"].astype(np.float32),
         "flip_lr": draw["flip_lr"], "flip_ud": draw["flip_ud"],
     }
-    return params, cls.astype(np.float32), box.astype(np.float32)
+    return params, cls, box
+
+
+def _labels_to_targets(lab, size: int, draw: dict):
+    """Warped pixel-corner labels -> (cls (M,1), box (M,4) normalized
+    cxcywh with flips applied) — the __getitem__ tail (data/dataset.py:
+    60-74; reference dataset.py:84-101), shared by both assemble paths."""
+    cls = lab[:, 0:1].copy()
+    box = (corners_to_norm(lab[:, 1:5], size, size) if len(lab)
+           else lab[:, 1:5].copy())
+    if draw["flip_ud"] and len(box):
+        box[:, 1] = 1 - box[:, 1]
+    if draw["flip_lr"] and len(box):
+        box[:, 0] = 1 - box[:, 0]
+    return cls.astype(np.float32), box.astype(np.float32)
 
 
 def sample_mosaic(rng: _random.Random, np_rng: np.random.Generator,
@@ -149,7 +156,9 @@ def sample_mosaic(rng: _random.Random, np_rng: np.random.Generator,
 def draw_plain(rng: _random.Random, np_rng: np.random.Generator,
                hyp: dict, size: int) -> dict:
     """RNG draws for the no-mosaic path (letterbox + affine on one
-    source; the host __getitem__ else-branch)."""
+    source; the host __getitem__ else-branch, data/dataset.py:48-58 —
+    reference dataset.py:80-101 with random_perspective
+    dataset.py:324-351 at degrees=shear=0)."""
     return {
         "s": rng.uniform(1 - hyp["scale"], 1 + hyp["scale"]),
         "tx": rng.uniform(0.5 - hyp["translate"],
@@ -194,15 +203,8 @@ def assemble_plain(draw: dict, staged_hw, label, size: int, failed=False):
                        [0.0, s, ty - s * size / 2],
                        [0.0, 0.0, 1.0]])
     lab = warp_labels_affine(lab, matrix, s, size, size)
-
-    cls = lab[:, 0:1].copy()
-    box = (corners_to_norm(lab[:, 1:5], size, size) if len(lab)
-           else lab[:, 1:5].copy())
-    if draw["flip_ud"] and len(box):
-        box[:, 1] = 1 - box[:, 1]
-    if draw["flip_lr"] and len(box):
-        box[:, 0] = 1 - box[:, 0]
-    return params, cls.astype(np.float32), box.astype(np.float32)
+    cls, box = _labels_to_targets(lab, size, draw)
+    return params, cls, box
 
 
 class DeviceAugmentLoader:
@@ -238,6 +240,11 @@ class DeviceAugmentLoader:
             raise NotImplementedError(
                 "device-augment supports mosaic prob 0 or 1; "
                 "fractional mosaic needs the host loader")
+        if hyp.get("degrees", 0.0) or hyp.get("shear", 0.0):
+            raise NotImplementedError(
+                "device-augment models only axis-aligned affines "
+                "(the default degrees=shear=0); rotation/shear needs "
+                "the host loader (ops/augment_device.py docstring)")
         labels = load_labels(list(filenames), cache_path)
         self.filenames = list(labels.keys())
         self.labels = list(labels.values())
@@ -348,8 +355,16 @@ class DeviceAugmentLoader:
         draws = [draw_plain(rng, np_rng, self.hyp, st) for _ in primaries]
         staged, dims, nfail = self._pipe.load_batch_scaled(
             [self.filenames[i] for i in primaries], st)
+        # a sample is bad if EITHER side failed (decode now, or the
+        # header scan at init) — and then BOTH its pixels and labels
+        # are blanked, never one without the other
+        bad = [bool(dims[k, 0] < 0) or self._staged_dims(p)[0] <= 0
+               for k, p in enumerate(primaries)]
+        for k, b in enumerate(bad):
+            if b:
+                staged[k] = 0
         outs = [assemble_plain(d, self._staged_dims(p), self.labels[p],
-                               st, failed=bool(dims[k, 0] < 0))
+                               st, failed=bad[k])
                 for k, (d, p) in enumerate(zip(draws, primaries))]
         params, targets = self._collate_outs(outs)
         hw = np.maximum(dims[:, :2], 1.0).astype(np.float32)

@@ -59,11 +59,13 @@ def build_padded_targets(targets: dict, batch_size: int, max_gt: int,
 
 
 # Memory governor for the assigner's dense (B, N, A) planes: above this
-# many elements per plane (f32: 256 MB; ~6 planes live inside one fused
-# assign), the batch is processed in image chunks via lax.map — identical
-# results (the assignment is per-image), bounded peak HBM. 64M elements
-# keeps bs64/N64/A8400 (34M) in the fast unchunked path; bs128/N512
-# (550M, the round-1 memory cliff, PARITY.md:90-92) runs chunked.
+# many elements per plane (f32: 640 MB at the 160M threshold; ~6 planes
+# live inside one fused assign), the batch is processed in image chunks
+# via lax.map — identical results (the assignment is per-image), bounded
+# peak HBM. 160M keeps bs128/N64/A8400 (68.8M) in the fast unchunked
+# path (chunking cost two serialized lax.map chunks ~8.6 ms/step,
+# BENCH.md) while bs128/N512 (550M, the round-1 memory cliff,
+# PARITY.md) still runs chunked and bs256+remat still fits.
 ASSIGN_ELEM_BUDGET = 160 * 1024 * 1024
 
 

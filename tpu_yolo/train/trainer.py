@@ -166,14 +166,12 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
 
     try:
         for epoch in range(start_epoch, args.epochs):
-            loader.set_epoch(epoch)
-            if args.epochs - epoch == 10:
-                dataset.mosaic = False  # reference main.py:109-110
-
-            # mirror the host trigger above: mosaic turns off only when
-            # the "10 epochs remain" point is actually crossed (runs
-            # shorter than 10 epochs keep mosaic throughout)
+            # mosaic off once 10 epochs remain (reference main.py:
+            # 109-110); `<=` rather than the reference's `==` so a
+            # resume that lands past the crossing still disables it.
+            # Runs shorter than 10 epochs never cross, keeping mosaic.
             mosaic_on = args.epochs - epoch > 10 or args.epochs < 10
+            dataset.mosaic = mosaic_on
             active = loader if dev_loader is None else dev_loader
             if dev_loader is not None:
                 dev_loader.mosaic = mosaic_on and hyp.get("mosaic", 1.0) > 0
