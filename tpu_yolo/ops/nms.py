@@ -178,8 +178,12 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
     iou = inter / (area[:, :, None] + area[:, None, :] - inter + 1e-12)
     same_cls = cls_idx[:, :, None] == cls_idx[:, None, :]
     tri = jnp.arange(k)
+    # materialized directly as bf16 0/1: the fixpoint below multiplies
+    # against it every iteration, and a bool mask would pay a full
+    # (B,K,K) convert per iteration inside the loop
     mask = ((iou > iou_thres) & same_cls
-            & (tri[:, None] < tri[None, :]) & valid[:, :, None])
+            & (tri[:, None] < tri[None, :]) & valid[:, :, None]
+            ).astype(jnp.bfloat16)
 
     def cond(state):
         _, changed, it = state
@@ -193,8 +197,7 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
         # products are 0/1 in bf16 and the f32 accumulator is exact for
         # K <= 2048 terms, so >0 is precisely the original any().
         suppressed = jnp.einsum(
-            "bk,bkj->bj", keep.astype(jnp.bfloat16),
-            mask.astype(jnp.bfloat16),
+            "bk,bkj->bj", keep.astype(jnp.bfloat16), mask,
             preferred_element_type=jnp.float32) > 0
         new_keep = valid & ~suppressed
         return new_keep, jnp.any(new_keep != keep), it + 1
