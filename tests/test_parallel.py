@@ -108,3 +108,32 @@ def test_tensor_parallel_train_step():
     _, m_dp = run(dp, shard_state=False)
     for k in m_dp:
         np.testing.assert_allclose(m_tp[k], m_dp[k], rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_partitioned_forward_matches_replicated():
+    """High-res spatial partitioning: image HEIGHT sharded over the
+    `spatial` axis; GSPMD partitions every conv with halo exchange and
+    the decoded output matches the unsharded forward (the resolution-
+    direction scaling axis the reference lacks; parallel/mesh.py
+    make_spatial_mesh)."""
+    from tpu_yolo.parallel import make_spatial_mesh, spatial_batch_sharding
+
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), TINY))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 256, (2, 128, 128, 3), np.uint8)
+                    .astype(np.float32) / 255)
+
+    ref = jax.jit(lambda p, v: yolov11.forward(p, v, TINY,
+                                               train=False))(params, x)
+
+    mesh = make_spatial_mesh(n_data=2, n_spatial=4)
+    assert mesh.shape == {"data": 2, "spatial": 4}
+    xs = jax.device_put(x, spatial_batch_sharding(mesh))
+    ps = jax.device_put(
+        params, jax.sharding.NamedSharding(mesh,
+                                           jax.sharding.PartitionSpec()))
+    out = jax.jit(lambda p, v: yolov11.forward(p, v, TINY,
+                                               train=False))(ps, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -48,6 +48,29 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def make_spatial_mesh(n_data: int | None = None, n_spatial: int = 2,
+                      devices=None) -> Mesh:
+    """(data, spatial) mesh for high-resolution spatial partitioning.
+
+    The reference's only scaling story is DDP (SURVEY.md §2); on TPU a
+    second idiomatic axis exists for the resolution direction: shard the
+    image HEIGHT across chips and GSPMD partitions every conv with
+    automatic halo exchange on ICI — no kernel changes, numerics match
+    the unsharded forward (tests/test_parallel.py). Useful when one
+    high-res image (1280px+) should ride several chips.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    use = np.asarray(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
+    return Mesh(use, ("data", "spatial"))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch split over (batch -> data, height -> spatial)."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
