@@ -98,6 +98,38 @@ def test_parity_check_harness(mini_coco, tmp_path):
 
 
 @pytest.mark.slow
+def test_divergence_guard_saves_crash_ckpt(mini_coco, tmp_path):
+    """A diverging run (absurd LR) must stop with FloatingPointError and
+    save the blown state for post-mortem (beyond-reference guard; the
+    reference trains on through NaNs silently)."""
+    import yaml
+
+    from tpu_yolo.core.config import load_hyperparams
+    hyp = load_hyperparams()
+    hyp["names"] = {0: "red", 1: "blue"}
+    hyp["max_lr"] = hyp["min_lr"] = 1e12
+    hyp["warmup_epochs"] = 0.0
+    hyp_path = tmp_path / "hyp_nan.yaml"
+    hyp_path.write_text(yaml.safe_dump(hyp))
+
+    save_dir = tmp_path / "weights_nan"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    cmd = [
+        sys.executable, "main.py", "--train",
+        "--model-size", "n", "--input-size", "128",
+        "--batch-size", "4", "--val-batch-size", "4", "--epochs", "2",
+        "--data-dir", str(mini_coco), "--save-dir", str(save_dir),
+        "--hyp", str(hyp_path), "--workers", "2",
+    ]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                       env=env, capture_output=True, text=True, timeout=3000)
+    assert r.returncode != 0
+    assert "FloatingPointError" in r.stderr and "crash.ckpt" in r.stderr
+    assert (save_dir / "crash.ckpt").exists()
+
+
+@pytest.mark.slow
 def test_cli_train_device_augment(mini_coco, tmp_path):
     """`main.py --train --device-augment`: the mosaic/affine/HSV/flip
     pixel work runs inside the jitted program; one epoch must train and

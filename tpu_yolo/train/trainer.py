@@ -61,6 +61,19 @@ class AverageMeter:
             self.avg = self.sum / self.num
 
 
+def _save_train_ckpt(path: str, state, epoch: int, best: float,
+                     meta: dict | None = None):
+    """Serialize the full training state (the last.ckpt payload shape)."""
+    import jax
+
+    from tpu_yolo.io import checkpoint as ckpt_io
+
+    payload = {"epoch": epoch + 1, "best": best, "meta": meta or {},
+               **{k: jax.device_get(state[k]) for k in
+                  ("params", "opt", "step", "ema_updates", "ema_params")}}
+    ckpt_io.save_checkpoint(path, payload)
+
+
 def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
     """Full training run. `args` needs: data_dir, input_size, batch_size
     (global), epochs, save_dir, resume (path|None), weights (path|None),
@@ -235,7 +248,20 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                 for k, v in (("box", metrics["loss_box"]),
                              ("cls", metrics["loss_cls"]),
                              ("dfl", metrics["loss_dfl"])):
-                    meters[k].update(float(v), bs)
+                    v = float(v)
+                    if not np.isfinite(v):
+                        # Divergence guard (beyond the reference, which
+                        # trains on silently): save the blown state for
+                        # post-mortem and stop with a pointer to the
+                        # last good checkpoint.
+                        crash = os.path.join(args.save_dir, "crash.ckpt")
+                        _save_train_ckpt(crash, state, epoch, best)
+                        raise FloatingPointError(
+                            f"loss_{k} is {v} at epoch {epoch + 1} step "
+                            f"{i} (lr={lr:.2e}); diverged state saved to "
+                            f"{crash}; resume from "
+                            f"{os.path.join(args.save_dir, 'last.ckpt')}")
+                    meters[k].update(v, bs)
                 if is_rank0 and hasattr(it, "set_postfix"):
                     it.set_postfix(box=f"{meters['box'].avg:.3f}",
                                    cls=f"{meters['cls'].avg:.3f}",
