@@ -46,9 +46,12 @@ from tpu_yolo.models.yolov11 import (  # noqa: E402
 from tpu_yolo.ops.nms import batched_nms, nms_from_raw  # noqa: E402
 from tpu_yolo.io.weights import (  # noqa: E402
     convert_state_dict,
+    export_reference_state_dict,
+    export_ultralytics_state_dict,
     load_checkpoint_params,
     load_partial,
     load_torch_state_dict,
+    save_torch_checkpoint,
 )
 from tpu_yolo.io.checkpoint import (  # noqa: E402
     load_checkpoint,
@@ -62,6 +65,8 @@ __all__ = [
     "load_hyperparams", "decode_predictions", "fold_batchnorm",
     "fold_stem_space_to_depth", "forward", "forward_nms", "forward_raw",
     "init_params", "batched_nms", "nms_from_raw", "convert_state_dict",
+    "export_reference_state_dict", "export_ultralytics_state_dict",
+    "save_torch_checkpoint",
     "load_checkpoint_params", "load_partial", "load_torch_state_dict",
     "load_checkpoint", "save_checkpoint", "strip_checkpoint",
     "DataParallel", "make_mesh", "Detector",

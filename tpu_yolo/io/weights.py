@@ -332,3 +332,132 @@ def load_partial(state: dict[str, np.ndarray], template_params,
 
     report["missing"] = sorted(set(expected) - set(report["loaded"]))
     return params, report
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: our pytree -> torch-layout state dicts.
+# ---------------------------------------------------------------------------
+
+# our head cls stage index -> ultralytics cv3 submodule path
+_ULTRA_CLS_STAGE = {"0": "0.0", "1": "0.1", "2": "1.0", "3": "1.1", "4": "2"}
+_ULTRA_LAYER_OF = {v: k for k, v in _ULTRA_LAYERS.items() if v != "head"}
+
+
+def _module_groups(params):
+    """{module path tuple: {leaf name: np.float32 array}} over the tree."""
+    out = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, prefix + (str(k),))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, prefix + (str(i),))
+        else:
+            out.setdefault(prefix[:-1], {})[prefix[-1]] = np.asarray(
+                node, np.float32)
+
+    walk(params, ())
+    return out
+
+
+def _emit_module(state, name, leaves, *, bn_prefix):
+    """Write one module's leaves under torch naming (OIHW kernels)."""
+    is_conv_bn = "gamma" in leaves
+    for leaf, val in leaves.items():
+        if leaf == "w":
+            key = f"{name}.conv.weight" if is_conv_bn else f"{name}.weight"
+            state[key] = val.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif leaf == "b":
+            state[f"{name}.bias"] = val
+        else:
+            torch_leaf = {"gamma": "weight", "beta": "bias",
+                          "mean": "running_mean", "var": "running_var"}[leaf]
+            state[f"{name}.{bn_prefix}.{torch_leaf}"] = val
+    if is_conv_bn:
+        state[f"{name}.{bn_prefix}.num_batches_tracked"] = np.asarray(
+            0, np.int64)
+
+
+def export_reference_state_dict(params, cfg) -> dict[str, np.ndarray]:
+    """Our (unfolded) pytree -> a reference-layout torch state dict.
+
+    Exact inverse of _translate_reference_key (reference model naming,
+    nets/nn.py: Conv = conv+norm, res lists as res_m, the C2PSA block's
+    attn as conv1.{qkv,conv1,conv2} / ffn as conv2.N), including the
+    non-trainable DFL expectation conv the importer skips. Round-trips
+    bit-exactly through convert_state_dict(source_format="reference").
+    """
+    if _is_folded(params):
+        raise ValueError("export needs unfolded (gamma/beta/mean/var) "
+                         "params; folded checkpoints lost the BN stats")
+    state = {}
+    for mod_path, leaves in _module_groups(params).items():
+        stem = ".".join(mod_path)
+        stem = stem.replace(".m.", ".res_m.")
+        stem = re.sub(
+            r"^(net\.p5\.3\.res_m\.\d+)\.(.*)$",
+            lambda m: m.group(1) + "." + m.group(2)
+            .replace("attn.qkv", "conv1.qkv")
+            .replace("attn.pe", "conv1.conv1")
+            .replace("attn.proj", "conv1.conv2")
+            .replace("ffn.", "conv2."),
+            stem)
+        _emit_module(state, stem, leaves, bn_prefix="norm")
+    state["head.dfl.conv.weight"] = np.arange(
+        cfg.reg_max, dtype=np.float32).reshape(1, cfg.reg_max, 1, 1)
+    return state
+
+
+def export_ultralytics_state_dict(params, cfg) -> dict[str, np.ndarray]:
+    """Our (unfolded) pytree -> an ultralytics YOLO11-layout state dict
+    (model.N... keys, OIHW kernels) — the inverse of the import path, so
+    TPU-trained weights can go back to the torch ecosystem
+    (`YOLO("yolo11n.yaml").model.load_state_dict(...)`). Round-trips
+    bit-exactly through convert_state_dict(source_format="ultralytics").
+    """
+    if _is_folded(params):
+        raise ValueError("export needs unfolded (gamma/beta/mean/var) "
+                         "params; folded checkpoints lost the BN stats")
+    state = {}
+    for mod_path, leaves in _module_groups(params).items():
+        if mod_path[0] == "head":
+            branch, scale, stage = mod_path[1], mod_path[2], mod_path[3]
+            if branch == "box":
+                name = f"model.23.cv2.{scale}.{stage}"
+            else:
+                name = f"model.23.cv3.{scale}.{_ULTRA_CLS_STAGE[stage]}"
+        else:
+            key = "/".join(mod_path[:3] if mod_path[0] == "net"
+                           else mod_path[:2])
+            inner = mod_path[3:] if mod_path[0] == "net" else mod_path[2:]
+            parts = []
+            for seg in inner:
+                if seg in ("conv1", "conv2", "conv3"):
+                    parts.append("cv" + seg[-1])
+                else:  # m/ffn indices, attn, qkv, pe, proj
+                    parts.append(seg)
+            name = ".".join(["model", _ULTRA_LAYER_OF[key]] + parts)
+        _emit_module(state, name, leaves, bn_prefix="bn")
+    state["model.23.dfl.conv.weight"] = np.arange(
+        cfg.reg_max, dtype=np.float32).reshape(1, cfg.reg_max, 1, 1)
+    return state
+
+
+def _is_folded(params) -> bool:
+    groups = _module_groups(params)
+    return not any("gamma" in leaves for leaves in groups.values())
+
+
+def save_torch_checkpoint(path: str, params, cfg,
+                          target_format: str = "ultralytics"):
+    """Write a .pt loadable by torch.load (and by our own importer):
+    {"state_dict": {...}} in the chosen layout."""
+    import torch
+
+    export = (export_ultralytics_state_dict if target_format == "ultralytics"
+              else export_reference_state_dict)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export(params, cfg).items()}
+    torch.save({"state_dict": sd, "format": target_format}, path)
