@@ -56,7 +56,8 @@ def test_roundtrip_bit_exact(fmt, export):
 
 def test_reference_keys_match_golden_model():
     """Key set equals the reference network's real state dict (golden)."""
-    g = np.load("tests/golden/model_n.npz")
+    from conftest import load_golden
+    g = load_golden("model_n.npz")
     golden = {k[3:] for k in g.files if k.startswith("sd.")}
     cfg, params = _params()
     got = set(export_reference_state_dict(params, cfg))
@@ -69,7 +70,7 @@ def test_reference_keys_match_golden_model():
 
 
 def test_ultralytics_keys_match_independent_builder():
-    from tests.test_ultralytics_convert import make_ultra_state
+    from test_ultralytics_convert import make_ultra_state
 
     cfg, params = _params()
     synth, _ = make_ultra_state(params, np.random.default_rng(0))

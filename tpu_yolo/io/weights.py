@@ -389,11 +389,10 @@ def export_reference_state_dict(params, cfg) -> dict[str, np.ndarray]:
     non-trainable DFL expectation conv the importer skips. Round-trips
     bit-exactly through convert_state_dict(source_format="reference").
     """
-    if _is_folded(params):
-        raise ValueError("export needs unfolded (gamma/beta/mean/var) "
-                         "params; folded checkpoints lost the BN stats")
+    groups = _module_groups(params)
+    _check_unfolded(groups)
     state = {}
-    for mod_path, leaves in _module_groups(params).items():
+    for mod_path, leaves in groups.items():
         stem = ".".join(mod_path)
         stem = stem.replace(".m.", ".res_m.")
         stem = re.sub(
@@ -417,11 +416,10 @@ def export_ultralytics_state_dict(params, cfg) -> dict[str, np.ndarray]:
     (`YOLO("yolo11n.yaml").model.load_state_dict(...)`). Round-trips
     bit-exactly through convert_state_dict(source_format="ultralytics").
     """
-    if _is_folded(params):
-        raise ValueError("export needs unfolded (gamma/beta/mean/var) "
-                         "params; folded checkpoints lost the BN stats")
+    groups = _module_groups(params)
+    _check_unfolded(groups)
     state = {}
-    for mod_path, leaves in _module_groups(params).items():
+    for mod_path, leaves in groups.items():
         if mod_path[0] == "head":
             branch, scale, stage = mod_path[1], mod_path[2], mod_path[3]
             if branch == "box":
@@ -445,9 +443,10 @@ def export_ultralytics_state_dict(params, cfg) -> dict[str, np.ndarray]:
     return state
 
 
-def _is_folded(params) -> bool:
-    groups = _module_groups(params)
-    return not any("gamma" in leaves for leaves in groups.values())
+def _check_unfolded(groups):
+    if not any("gamma" in leaves for leaves in groups.values()):
+        raise ValueError("export needs unfolded (gamma/beta/mean/var) "
+                         "params; folded checkpoints lost the BN stats")
 
 
 def save_torch_checkpoint(path: str, params, cfg,

@@ -162,6 +162,15 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
               max_det):
     """Shared suppression tail: class-offset mask + Jacobi fixpoint +
     compaction. cand_boxes are xyxy (B, K, 4), score-descending."""
+    # nan_to_num: identity for the finite values this path produces, but
+    # without it a single non-finite candidate (diverged checkpoint,
+    # corrupt input) would 0*inf=NaN-poison EVERY output row of its
+    # image through the compaction matmul — the gather it replaced only
+    # corrupted the one row that selected the bad box.
+    cand_boxes = jnp.nan_to_num(cand_boxes, nan=0.0, posinf=0.0,
+                                neginf=0.0)
+    top_scores = jnp.nan_to_num(top_scores, nan=0.0, posinf=0.0,
+                                neginf=0.0)
     valid = top_scores > conf_thres
 
     # Per-axis overlap on raw boxes + class-equality (equivalent to the

@@ -33,14 +33,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _mesh2(n_data, n_second, axis_names, devices) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_second
+    if n_data < 1 or n_data * n_second > len(devices):
+        raise ValueError(f"need {max(n_data, 1) * n_second} devices for a "
+                         f"{axis_names} mesh, have {len(devices)}")
+    use = np.asarray(devices[: n_data * n_second]).reshape(n_data, n_second)
+    return Mesh(use, axis_names)
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1,
               devices=None) -> Mesh:
     """Build an (data, model) mesh over all visible devices by default."""
-    devices = list(devices if devices is not None else jax.devices())
-    if n_data is None:
-        n_data = len(devices) // n_model
-    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(use, ("data", "model"))
+    return _mesh2(n_data, n_model, ("data", "model"), devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -59,11 +66,7 @@ def make_spatial_mesh(n_data: int | None = None, n_spatial: int = 2,
     the unsharded forward (tests/test_parallel.py). Useful when one
     high-res image (1280px+) should ride several chips.
     """
-    devices = list(devices if devices is not None else jax.devices())
-    if n_data is None:
-        n_data = len(devices) // n_spatial
-    use = np.asarray(devices[: n_data * n_spatial]).reshape(n_data, n_spatial)
-    return Mesh(use, ("data", "spatial"))
+    return _mesh2(n_data, n_spatial, ("data", "spatial"), devices)
 
 
 def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:

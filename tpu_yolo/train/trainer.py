@@ -253,9 +253,15 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                         # Divergence guard (beyond the reference, which
                         # trains on silently): save the blown state for
                         # post-mortem and stop with a pointer to the
-                        # last good checkpoint.
+                        # last good checkpoint. Rank 0 writes (the loss
+                        # is replicated; concurrent writers would race
+                        # on the shared save_dir).
                         crash = os.path.join(args.save_dir, "crash.ckpt")
-                        _save_train_ckpt(crash, state, epoch, best)
+                        if is_rank0:
+                            _save_train_ckpt(
+                                crash, state, epoch, best,
+                                meta={"size": args.model_size,
+                                      "num_classes": cfg.num_classes})
                         raise FloatingPointError(
                             f"loss_{k} is {v} at epoch {epoch + 1} step "
                             f"{i} (lr={lr:.2e}); diverged state saved to "
@@ -294,15 +300,14 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                     tb.flush()
 
                 best = max(best, m_ap)
-                payload = {"epoch": epoch + 1, "best": best,
-                           "meta": {"size": args.model_size,
-                                    "num_classes": cfg.num_classes},
-                           **{k: jax.device_get(state[k]) for k in
-                              ("params", "opt", "step", "ema_updates",
-                               "ema_params")}}
-                ckpt_io.save_checkpoint(os.path.join(args.save_dir, "last.ckpt"), payload)
+                meta = {"size": args.model_size,
+                        "num_classes": cfg.num_classes}
+                _save_train_ckpt(os.path.join(args.save_dir, "last.ckpt"),
+                                 state, epoch, best, meta=meta)
                 if best == m_ap:
-                    ckpt_io.save_checkpoint(os.path.join(args.save_dir, "best.ckpt"), payload)
+                    _save_train_ckpt(
+                        os.path.join(args.save_dir, "best.ckpt"),
+                        state, epoch, best, meta=meta)
     finally:
         if log:
             log.close()
