@@ -289,6 +289,12 @@ class DeviceAugmentLoader:
         scale = np.where(long_side > 0,
                          self.input_size / np.maximum(long_side, 1), 0.0)
         resized = (orig * scale[:, None]).astype(np.int64)
+        # per-axis >=1 clamp, matching the native decoder's contract
+        # (image_pipeline.cc: `if (sh < 1) sh = 1`) — an extreme-aspect
+        # image must not be host-marked failed while C++ decodes it;
+        # long_side == 0 (header-scan failure) stays 0
+        resized = np.where((long_side > 0)[:, None],
+                           np.maximum(resized, 1), resized)
         staged = np.where((long_side != self.input_size)[:, None],
                           resized, staged)
         return staged
@@ -388,10 +394,15 @@ class DeviceAugmentLoader:
         make = self._make_batch if self.mosaic else self._make_batch_plain
 
         def produce():
-            for b in range(len(self)):
-                primaries = order[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(make(primaries, rng, np_rng))
-            q.put(None)
+            # a producer crash must surface in the consumer, not hang
+            # the training loop on q.get() forever
+            try:
+                for b in range(len(self)):
+                    primaries = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(make(primaries, rng, np_rng))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -399,4 +410,6 @@ class DeviceAugmentLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -149,7 +149,10 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
             threads=args.workers, seed=getattr(args, "seed", 0),
             num_shards=n_hosts, shard=jax.process_index())
 
-    num_steps = len(loader)
+    # the ACTIVE loader drives the LR schedule / step accounting — with
+    # --device-augment its length can differ from the host DataLoader
+    # (label filtering, shard//batch floor arithmetic)
+    num_steps = len(dev_loader if dev_loader is not None else loader)
     schedule = optim.linear_lr(args.epochs, num_steps, hyp)
     optim.plot_lr(schedule, os.path.join(args.save_dir, "lr.png"))
 
@@ -218,15 +221,24 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                             sput(staged), sput(hw),
                             jax.tree_util.tree_map(sput, aug_params),
                             out_size=args.input_size)
+                    # `images` is already a (possibly global, multi-host)
+                    # sharded device array — it must NOT round-trip
+                    # through put()/shard_batch (np.asarray on a
+                    # non-addressable global array raises); targets are
+                    # per-host and pad to the PER-HOST batch below.
+                    local_bs = staged.shape[0]
+                    images_dev = images
                 else:
                     images, targets = batch
+                    local_bs = images.shape[0]
+                    images_dev = put(images)
                 step = i + num_steps * epoch
                 lr = float(schedule[min(step, len(schedule) - 1)])
                 apply_update = (step % accumulate) == 0
 
                 max_n = int(np.max(np.bincount(
                     np.asarray(targets["idx"], np.int64),
-                    minlength=images.shape[0]))) if len(targets["idx"]) else 1
+                    minlength=local_bs))) if len(targets["idx"]) else 1
                 bucket = _gt_bucket(max(max_n, 1))
                 if n_hosts > 1:
                     # Hosts must agree on the padded GT shape before the
@@ -235,16 +247,16 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                     bucket = int(np.max(multihost_utils.process_allgather(
                         np.int32(bucket))))
                 gt = build_padded_targets(
-                    targets, images.shape[0], bucket,
+                    targets, local_bs, bucket,
                     (args.input_size, args.input_size))
 
                 state, metrics = train_step(
-                    state, put(images), put(gt), lr, hyp_gains, wd,
+                    state, images_dev, put(gt), lr, hyp_gains, wd,
                     hyp["momentum"], cfg=cfg, accumulate=accumulate,
                     apply_update=apply_update,
                     remat=getattr(args, "remat", False))
 
-                bs = images.shape[0]
+                bs = local_bs
                 for k, v in (("box", metrics["loss_box"]),
                              ("cls", metrics["loss_cls"]),
                              ("dfl", metrics["loss_dfl"])):
