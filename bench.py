@@ -46,6 +46,10 @@ def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
     from tpu_yolo.models import yolov11
 
     cfg = get_model_config("n")
+    # fold_stem_space_to_depth measured NEGATIVE here (-4.5% at bs128,
+    # 2026-08-17 A/B via tools/infer_bench.py --s2d): the s2d transpose
+    # is an extra full-image HBM pass that the narrow stem conv's MXU
+    # gain does not repay. Kept as an opt-in transform only.
     params = yolov11.fold_input_scale(yolov11.fold_batchnorm(
         yolov11.init_params(jax.random.PRNGKey(0), cfg)))
     step = build_step(cfg, params, batch)

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Serving-forward benchmark + profiler (production entry point).
+
+Runs bench.py's exact jitted step (normalize-folded uint8 -> forward ->
+DFL decode -> batched NMS) so profiles/timings reflect the production
+serving program — per CLAUDE.md only production entry points A/B'd
+across a change are trustworthy here. `--profile DIR` dumps a
+jax.profiler trace (aggregate with tools/profile_agg.py).
+
+Usage:
+  python tools/infer_bench.py [--batch 128] [--size 640] [--model n]
+                              [--iters 20] [--profile DIR] [--no-s2d]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--model", default="n")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--pool", type=int, default=4, help="distinct batches")
+    ap.add_argument("--profile", default=None)
+    ap.add_argument("--s2d", action="store_true",
+                    help="apply fold_stem_space_to_depth")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+    from bench import build_step
+    from tpu_yolo.core.config import get_model_config
+    from tpu_yolo.models import yolov11
+
+    cfg = get_model_config(args.model)
+    params = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), cfg))
+    if args.s2d:
+        params = yolov11.fold_stem_space_to_depth(params)
+    params = yolov11.fold_input_scale(params)
+    step = build_step(cfg, params, args.batch)
+
+    rng = np.random.default_rng(0)
+    pool = [jax.device_put(rng.integers(
+        0, 256, (args.batch, args.size, args.size, 3), np.uint8))
+        for _ in range(args.pool)]
+
+    for i in range(args.warmup):
+        jax.block_until_ready(step(params, pool[i % args.pool]))
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    t0 = time.perf_counter()
+    out = None
+    for i in range(args.iters):
+        out = step(params, pool[i % args.pool])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    ms = dt / args.iters * 1e3
+    print(json.dumps({
+        "img_per_s": round(args.batch * args.iters / dt, 1),
+        "ms_per_batch": round(ms, 2),
+        "batch": args.batch, "size": args.size, "model": args.model,
+        "s2d": bool(args.s2d),
+        "platform": str(jax.devices()[0].platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()

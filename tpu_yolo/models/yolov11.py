@@ -294,19 +294,19 @@ def forward(params, x, cfg: ModelConfig, train: bool = False, ctx: Context | Non
 
 
 def forward_nms(params, x, cfg: ModelConfig, **nms_kwargs):
-    """One-call inference: forward -> decode -> batched NMS.
+    """One-call inference: forward -> fused decode+NMS.
 
-    Uses the bulk-decode two-stage pipeline: decoding all anchors with
-    vectorized DFL then gathering (B, K, 4) boxes measures ~12% faster
-    on v5e than gathering (B, K, 4*reg_max) logits and decoding only
-    candidates (ops/nms.py::nms_from_raw) — dynamic gathers of wide rows
-    lose to the MXU-friendly bulk matmul. Both produce identical results
-    (tests/test_ops_parity.py::test_fused_nms_matches_two_stage).
+    The tail is ops/nms.py::nms_from_raw: candidates ranked on raw
+    class logits (sigmoid only on the K winners — monotone, so the
+    selection is score order), per-level flattening (no (B, A, 144)
+    concat), bulk DFL box decode + narrow (B, K, 4) gather. Matches
+    batched_nms(decode_predictions(...)) —
+    tests/test_ops_parity.py::test_fused_nms_matches_two_stage.
     """
-    from tpu_yolo.ops.nms import batched_nms
+    from tpu_yolo.ops.nms import nms_from_raw
 
-    preds = forward(params, x, cfg, train=False)
-    return batched_nms(preds, **nms_kwargs)
+    raw = forward_raw(params, x, cfg)
+    return nms_from_raw(raw, cfg, (x.shape[1], x.shape[2]), **nms_kwargs)
 
 
 # ---------------------------------------------------------------------------

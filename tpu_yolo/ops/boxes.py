@@ -69,8 +69,14 @@ def dfl_expectation(dist_logits, reg_max: int = 16):
     dist_logits: (..., 4, reg_max) -> (..., 4) expected offsets.
     """
     proj = jnp.arange(reg_max, dtype=jnp.float32)
-    prob = jax.nn.softmax(dist_logits.astype(jnp.float32), axis=-1)
-    return prob @ proj
+    x = dist_logits.astype(jnp.float32)
+    # single fused pass: softmax's prob @ proj is a dot, which forces
+    # XLA to materialize the (…, 4, reg_max) f32 prob tensor in HBM
+    # (275 MB at bs128/640, profiled 2026-08-17); the elementwise
+    # multiply+reduce form fuses exp, weighting and both reductions
+    # into one kernel. Same math: Σ eⱼ·j / Σ eⱼ == softmax @ proj.
+    e = jnp.exp(x - jax.lax.stop_gradient(x.max(axis=-1, keepdims=True)))
+    return (e * proj).sum(axis=-1) / e.sum(axis=-1)
 
 
 def dfl_decode(dist_logits, anchors, reg_max: int = 16, xywh: bool = True):

@@ -40,6 +40,21 @@ from tpu_yolo.ops.boxes import xywh_to_xyxy
 MAX_WH = 7680.0  # class-offset spacing (reference util.py:124)
 
 
+def _split_candidate_index(top_idx, nc: int):
+    """(anchor, class) from the flattened (A*nc) candidate index.
+
+    s32 divide/modulo lower to the TPU scalar core (profiled 3.2 ms per
+    bs128 batch for the 262k divisions); the f32 floor form runs on the
+    VPU and is exact: i + 0.5 keeps the quotient ≥ 0.00625/nc away from
+    every integer boundary, while the f32 rounding error is ≤ ~1e-3 for
+    i < 2^23 — so floor() always lands on the true quotient."""
+    f = jnp.floor((top_idx.astype(jnp.float32) + 0.5)
+                  * jnp.float32(1.0 / nc))
+    anchor_idx = f.astype(jnp.int32)
+    cls_idx = top_idx - anchor_idx * nc
+    return anchor_idx, cls_idx.astype(jnp.int32)
+
+
 def _rank_candidates(flat, k: int, ranking: str):
     """Top-K candidate ranking over the flattened (B, A*nc) score matrix.
 
@@ -98,8 +113,7 @@ def batched_nms(preds,
 
     flat = scores_all.reshape(b, a * nc)
     top_scores, top_idx = _rank_candidates(flat, k, ranking)
-    anchor_idx = top_idx // nc
-    cls_idx = (top_idx % nc).astype(jnp.int32)
+    anchor_idx, cls_idx = _split_candidate_index(top_idx, nc)
 
     cand_boxes = jnp.take_along_axis(boxes_xywh, anchor_idx[..., None], axis=1)
     cand_boxes = xywh_to_xyxy(cand_boxes)                 # (B, K, 4)
@@ -117,41 +131,53 @@ def nms_from_raw(raw_maps, cfg, input_hw,
                  max_det: int = 300,
                  max_nms: int = 2048,
                  ranking: str = "exact"):
-    """Fused decode+NMS from raw per-level head maps.
+    """Fused decode+NMS from raw per-level head maps — the production
+    inference tail (models.forward_nms). Output semantics are identical
+    to batched_nms(decode_predictions(raw)); the structure is shaped by
+    a bs128 serving profile (2026-08-17, tools/infer_bench.py):
 
-    Skips materializing the full decoded (B, A, 4+nc) float tensor of
-    the two-stage path (decode_predictions -> batched_nms): class
-    scores flow straight from the bf16 head maps into candidate
-    ranking, and DFL box decode runs only on the K selected candidates
-    (K=2048) instead of all A anchors (8400 at 640px). Output semantics
-    are identical to batched_nms(decode_predictions(raw)).
+      * candidates are ranked on the raw class LOGITS, not on sigmoid
+        scores: sigmoid is strictly increasing, so the top-K by logit IS
+        the top-K by score (with strictly finer tie resolution where f32
+        sigmoid saturates), and the (B, A, nc) f32 sigmoid
+        materialization (344 MB at bs128/640) disappears — sigmoid runs
+        on the K winners only. "exact" ranks f32 logits (score order);
+        "approx" ranks bf16 straight from the head maps (half the sort
+        bytes; the serving knob was already approximate);
+      * dist/cls are flattened per level, so the (B, A, 4*reg_max+nc)
+        concat of the two-stage path is never materialized;
+      * boxes are bulk-decoded for all anchors and then gathered per
+        candidate: gathering (B, K, 4) decoded boxes beats gathering
+        (B, K, 4*reg_max) logits and decoding candidates (~12% e2e,
+        BENCH.md) — the gather cost is per-ROW (scalar core), so narrow
+        rows win.
     """
     from tpu_yolo.ops.anchors import make_anchors
     from tpu_yolo.ops.boxes import dfl_decode
 
     b = raw_maps[0].shape[0]
-    no = cfg.no
     nc = cfg.num_classes
     reg4 = 4 * cfg.reg_max
-    flat = jnp.concatenate([m.reshape(b, -1, no) for m in raw_maps], axis=1)
-    dist, cls = jnp.split(flat, (reg4,), axis=-1)       # (B, A, 64/nc)
+    dist = jnp.concatenate([m[..., :reg4].reshape(b, -1, reg4)
+                            for m in raw_maps], axis=1)   # (B, A, 64)
+    logits = jnp.concatenate([m[..., reg4:].reshape(b, -1, nc)
+                              for m in raw_maps], axis=1)  # (B, A, nc)
     a = dist.shape[1]
 
-    scores = jax.nn.sigmoid(cls.astype(jnp.float32)).reshape(b, a * nc)
     k = min(max_nms, a * nc, 8192)
-    top_scores, top_idx = _rank_candidates(scores, k, ranking)
-    anchor_idx = top_idx // nc
-    cls_idx = (top_idx % nc).astype(jnp.int32)
+    flat = logits.reshape(b, a * nc)
+    if ranking == "exact":
+        flat = flat.astype(jnp.float32)
+    top_logits, top_idx = _rank_candidates(flat, k, ranking)
+    top_scores = jax.nn.sigmoid(top_logits.astype(jnp.float32))
+    anchor_idx, cls_idx = _split_candidate_index(top_idx, nc)
 
     anchors, stride_t = make_anchors(input_hw, cfg.strides)
     anchors = jnp.asarray(anchors, jnp.float32)          # (A, 2)
     stride_t = jnp.asarray(stride_t, jnp.float32)        # (A, 1)
 
-    d_k = jnp.take_along_axis(dist, anchor_idx[..., None],
-                              axis=1).astype(jnp.float32)      # (B, K, 64)
-    anch_k = anchors[anchor_idx]                         # (B, K, 2)
-    str_k = stride_t[anchor_idx]                         # (B, K, 1)
-    cand_boxes = dfl_decode(d_k, anch_k, cfg.reg_max, xywh=False) * str_k
+    boxes = dfl_decode(dist, anchors, cfg.reg_max, xywh=False) * stride_t
+    cand_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
 
     return _suppress(cand_boxes, top_scores, cls_idx, k,
                      conf_thres=conf_thres, iou_thres=iou_thres,
@@ -161,7 +187,16 @@ def nms_from_raw(raw_maps, cfg, input_hw,
 def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
               max_det):
     """Shared suppression tail: class-offset mask + Jacobi fixpoint +
-    compaction. cand_boxes are xyxy (B, K, 4), score-descending."""
+    compaction. cand_boxes are xyxy (B, K, 4), score-descending.
+
+    Variants measured and rejected on the bs128/K2048 serving bench
+    (2026-08-17): materializing the (B, K, K) bf16 mask once behind an
+    optimization_barrier (29.0 ms vs 26.6 — XLA's choice to recompute
+    the IoU inside the loop body wins at the few-iteration counts real
+    ranking produces), and a tiled sequential-greedy scan that visits
+    each pair exactly once (34.6 ms — eight sequential tile steps +
+    per-tile while overhead dominate when suppression chains are
+    short)."""
     # nan_to_num: identity for the finite values this path produces, but
     # without it a single non-finite candidate (diverged checkpoint,
     # corrupt input) would 0*inf=NaN-poison EVERY output row of its
@@ -187,9 +222,6 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
     iou = inter / (area[:, :, None] + area[:, None, :] - inter + 1e-12)
     same_cls = cls_idx[:, :, None] == cls_idx[:, None, :]
     tri = jnp.arange(k)
-    # materialized directly as bf16 0/1: the fixpoint below multiplies
-    # against it every iteration, and a bool mask would pay a full
-    # (B,K,K) convert per iteration inside the loop
     mask = ((iou > iou_thres) & same_cls
             & (tri[:, None] < tri[None, :]) & valid[:, :, None]
             ).astype(jnp.bfloat16)
@@ -217,19 +249,22 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
     # Compaction (kept rows to the front, score order preserved) as a
     # selection-matrix matmul instead of a stable argsort over K: the
     # j-th output is the row whose running kept-count equals j+1, i.e.
-    # sel[b, j, i] = (cumsum(keep)[b, i] == j+1) & keep[b, i] — at most
+    # sel[b, i, j] = (cumsum(keep)[b, i] == j+1) & keep[b, i] — at most
     # one hit per row, so the f32 matmul (HIGHEST precision on the MXU)
     # reproduces take_along_axis exactly. The full-K sort measured
-    # ~4 ms/step at bs128/K2048 (profiler 2026-08-17); the selection
-    # compare + (B, max_det, K) matmuls are sub-ms.
+    # ~4 ms/step at bs128/K2048 (profiler 2026-08-17). Built (B, K, M)
+    # with the slot axis MINOR: the (B, M, K) orientation lowered to a
+    # scalar-core fusion with T(1,128) layout costing 3.2 ms/batch
+    # (profiler 2026-08-17); K-major puts the compare on the VPU and
+    # feeds the dot's contracting dimension directly.
     cum = jnp.cumsum(keep.astype(jnp.int32), axis=1)          # (B, K)
     slots = jnp.arange(1, max_det + 1, dtype=jnp.int32)
-    sel = ((cum[:, None, :] == slots[None, :, None])
-           & keep[:, None, :]).astype(jnp.float32)            # (B, M, K)
-    pick = lambda v: jnp.einsum("bjk,bk->bj", sel, v,
+    sel = ((cum[:, :, None] == slots[None, None, :])
+           & keep[:, :, None]).astype(jnp.float32)            # (B, K, M)
+    pick = lambda v: jnp.einsum("bkj,bk->bj", sel, v,
                                 precision=jax.lax.Precision.HIGHEST)
     out_valid = slots[None, :] <= cum[:, -1:]
-    out_boxes = jnp.einsum("bjk,bkc->bjc", sel, cand_boxes,
+    out_boxes = jnp.einsum("bkj,bkc->bjc", sel, cand_boxes,
                            precision=jax.lax.Precision.HIGHEST)
 
     return {
