@@ -1,0 +1,70 @@
+"""Multi-host rehearsal: 2 coordinated jax.distributed CPU processes.
+
+Executes (for real, process_count()==2) the trainer's multi-host
+branches — make_array_from_process_local_data assembly, the GT-bucket
+process_allgather, sharded eval — and asserts the training trajectory
+matches a single-process run over the same global batch (the SPMD
+contract: process topology must not change the math). VERDICT round-2
+item 2; reference launcher contract: main.sh, main.py:338-344.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "multihost_rehearsal.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(num_processes: int, port: int, timeout: int = 600):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER,
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", str(num_processes),
+             "--process-id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env, cwd=REPO)
+        for i in range(num_processes)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+def test_two_process_rehearsal_matches_single_process():
+    ref = _run_workers(1, _free_port())[0]
+    multi = _run_workers(2, _free_port())
+
+    # both processes observe the same replicated losses
+    np.testing.assert_allclose(multi[0]["losses"], multi[1]["losses"],
+                               rtol=0, atol=0)
+    # and the 2-process trajectory equals the single-process oracle on
+    # the identical global batch (process topology is invisible to the
+    # math; CPU f32 tolerances)
+    np.testing.assert_allclose(np.asarray(multi[0]["losses"]),
+                               np.asarray(ref["losses"]),
+                               rtol=2e-4, atol=2e-4)
+    assert multi[0]["eval_counts"] == multi[1]["eval_counts"]
+    assert multi[0]["eval_counts"] == ref["eval_counts"]

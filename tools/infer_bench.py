@@ -24,6 +24,60 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_latency(args, cfg, params):
+    """bs=1 p50 via the production Detector program (serve._predict at
+    serving conf 0.25), minus the measured per-dispatch tunnel RTT —
+    bench.py's method, distinct inputs per call (relay elision)."""
+    import functools
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo import serve
+
+    k = args.max_nms or 2048
+    # the Detector program divides by 255 itself — use plain BN-folded
+    # params, not the input-scale-folded ones of the throughput step
+    from tpu_yolo.models import yolov11 as y
+    p = y.fold_batchnorm(y.init_params(jax.random.PRNGKey(0), cfg))
+    step = functools.partial(serve._predict, cfg=cfg,
+                             compute_dtype=jnp.bfloat16,
+                             conf_thres=0.25, iou_thres=0.65, max_det=300,
+                             ranking="approx", max_nms=k)
+
+    rng = np.random.default_rng(0)
+    ones = [jax.device_put(rng.integers(
+        0, 256, (1, args.size, args.size, 3), np.uint8)) for _ in range(8)]
+    jax.block_until_ready(step(p, ones[0]))
+    jax.block_until_ready(step(p, ones[1]))
+    lat = []
+    for i in range(24):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(p, ones[i % len(ones)]))
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.median(lat) * 1e3)
+
+    tick = jax.jit(lambda a: a + 1)
+    scal = [jax.device_put(np.float32(i)) for i in range(8)]
+    jax.block_until_ready(tick(scal[0]))
+    jax.block_until_ready(tick(scal[1]))
+    rtt = []
+    for i in range(24):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tick(scal[i % len(scal)]))
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt) * 1e3)
+
+    print(json.dumps({
+        "p50_latency_ms_bs1": round(p50, 2),
+        "dispatch_rtt_ms": round(rtt_ms, 2),
+        "p50_device_ms_bs1_est": round(p50 - rtt_ms, 2),
+        "max_nms": k, "size": args.size, "model": args.model,
+        "platform": str(jax.devices()[0].platform),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -35,6 +89,13 @@ def main():
     ap.add_argument("--profile", default=None)
     ap.add_argument("--s2d", action="store_true",
                     help="apply fold_stem_space_to_depth")
+    ap.add_argument("--max-nms", type=int, default=None,
+                    help="candidate budget K (default: forward_nms's "
+                         "2048 parity budget; 1024 = serving config)")
+    ap.add_argument("--latency", action="store_true",
+                    help="bs=1 p50 latency of the production serving "
+                         "program (serve._predict, conf 0.25) with "
+                         "dispatch-RTT subtraction (bench.py's method)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +113,20 @@ def main():
     if args.s2d:
         params = yolov11.fold_stem_space_to_depth(params)
     params = yolov11.fold_input_scale(params)
-    step = build_step(cfg, params, args.batch)
+
+    if args.latency:
+        return run_latency(args, cfg, params)
+    if args.max_nms:
+        import functools
+        import jax.numpy as jnp
+
+        @jax.jit
+        def step(p, images):
+            return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
+                                       ranking="approx",
+                                       max_nms=args.max_nms)
+    else:
+        step = build_step(cfg, params, args.batch)
 
     rng = np.random.default_rng(0)
     pool = [jax.device_put(rng.integers(

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Multi-host SPMD rehearsal worker: N coordinated CPU processes.
+
+Executes the trainer's real multi-host code paths with
+jax.process_count() > 1 — jax.distributed.initialize, the
+make_array_from_process_local_data batch assembly (parallel/mesh.py
+shard_batch), the per-step GT-bucket process_allgather agreement
+(train/trainer.py), and a sharded eval forward — on virtual CPU
+devices, so the multi-host branches are exercised without a multi-host
+slice (VERDICT round-2 item 2; reference launcher contract main.sh,
+main.py:338-344).
+
+Run one process per host:
+  python tools/multihost_rehearsal.py --coordinator localhost:PORT \
+      --num-processes 2 --process-id I [--steps 3]
+With --num-processes 1 it computes the single-process reference on the
+same global batch (the oracle the test compares against). Prints one
+JSON line: {"process_id", "losses" [[box, cls, dfl]...], "eval_counts"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# Each process needs its OWN local device set; this must be in the env
+# before the backend initializes (the test parent's conftest exports 8).
+_LOCAL_DEVICES = 4
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_global_batch(step: int, global_bs: int, size: int, nc: int):
+    """Deterministic synthetic global batch — every process draws the
+    SAME global arrays and slices its host rows (idx stays host-local,
+    the collate() contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234 + step)
+    images = rng.integers(0, 256, (global_bs, size, size, 3), np.uint8)
+    cls, box, idx = [], [], []
+    for b in range(global_bs):
+        n = int(rng.integers(1, 6))
+        x1 = rng.uniform(0, size * 0.7, (n, 2))
+        wh = rng.uniform(4, size * 0.3, (n, 2))
+        xyxy = np.concatenate([x1, np.minimum(x1 + wh, size - 1)], 1)
+        c = rng.integers(0, nc, (n, 1)).astype(np.float32)
+        # normalized cxcywh, the dataset contract build_padded_targets
+        # expects
+        cx = (xyxy[:, 0:1] + xyxy[:, 2:3]) / 2 / size
+        cy = (xyxy[:, 1:2] + xyxy[:, 3:4]) / 2 / size
+        w = (xyxy[:, 2:3] - xyxy[:, 0:1]) / size
+        h = (xyxy[:, 3:4] - xyxy[:, 1:2]) / size
+        cls.append(c)
+        box.append(np.concatenate([cx, cy, w, h], 1).astype(np.float32))
+        idx.append(np.full(n, b, np.float32))
+    targets = {"cls": np.concatenate(cls), "box": np.concatenate(box),
+               "idx": np.concatenate(idx)}
+    return images, targets
+
+
+def slice_host(images, targets, pid: int, host_bs: int):
+    """This host's rows, with idx re-based to host-local image numbers."""
+    import numpy as np
+
+    lo, hi = pid * host_bs, (pid + 1) * host_bs
+    rows = (targets["idx"] >= lo) & (targets["idx"] < hi)
+    local = {"cls": targets["cls"][rows], "box": targets["box"][rows],
+             "idx": targets["idx"][rows] - lo}
+    return np.ascontiguousarray(images[lo:hi]), local
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default="localhost:9911")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--global-batch", type=int, default=8)
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={_LOCAL_DEVICES}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    if args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+        assert jax.process_count() == args.num_processes
+    n_devices = args.num_processes * _LOCAL_DEVICES
+    assert len(jax.devices()) == n_devices
+
+    import numpy as np
+
+    from tpu_yolo.core.config import ModelConfig
+    from tpu_yolo.eval.evaluator import predict_step
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.parallel import DataParallel, make_mesh
+    from tpu_yolo.train.loss import build_padded_targets
+    from tpu_yolo.train.step import init_train_state, train_step
+
+    cfg = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                      csp=(False, True), num_classes=8)
+    params = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+    state = init_train_state(params, ema=True, accumulate=1)
+    dp = DataParallel(make_mesh(n_data=n_devices))
+    state = dp.replicate(state)
+
+    host_bs = args.global_batch // args.num_processes
+    hyp_gains = np.asarray([7.5, 0.5, 1.5], np.float32)
+    from tpu_yolo.train.trainer import _gt_bucket
+
+    losses = []
+    for step in range(args.steps):
+        images_g, targets_g = make_global_batch(
+            step, args.global_batch, args.size, cfg.num_classes)
+        images, targets = slice_host(images_g, targets_g,
+                                     args.process_id, host_bs)
+
+        # the trainer's bucket-agreement flow (train/trainer.py)
+        max_n = int(np.max(np.bincount(
+            np.asarray(targets["idx"], np.int64), minlength=host_bs)))
+        bucket = _gt_bucket(max(max_n, 1))
+        if args.num_processes > 1:
+            from jax.experimental import multihost_utils
+            bucket = int(np.max(multihost_utils.process_allgather(
+                np.int32(bucket))))
+        gt = build_padded_targets(targets, host_bs, bucket,
+                                  (args.size, args.size))
+
+        # f32 compute: this rehearsal checks the multi-host PLUMBING
+        # (array assembly, collectives, bucket agreement) against a
+        # single-process oracle — bf16 rounding under a different
+        # device partitioning would amplify over steps and only blur
+        # that signal (measured ~15% rel drift on near-zero box loss
+        # by step 3 in bf16; f32 matches to ~1e-6)
+        import jax.numpy as jnp
+        state, metrics = train_step(
+            state, dp.shard_batch(images), dp.shard_batch(gt),
+            0.01, hyp_gains, 5e-4, 0.937, cfg=cfg, accumulate=1,
+            apply_update=True, compute_dtype=jnp.float32)
+        losses.append([float(metrics["loss_box"]),
+                       float(metrics["loss_cls"]),
+                       float(metrics["loss_dfl"])])
+
+    # one sharded eval forward on the trained params (replicated loss
+    # already proves the gradient psum; this proves the eval path's
+    # batch assembly + global reduction)
+    images_g, _ = make_global_batch(999, args.global_batch, args.size,
+                                    cfg.num_classes)
+    images, _ = slice_host(images_g, {"cls": np.zeros((0, 1), np.float32),
+                                      "box": np.zeros((0, 4), np.float32),
+                                      "idx": np.zeros(0, np.float32)},
+                           args.process_id, host_bs)
+    folded = yolov11.fold_batchnorm(jax.tree_util.tree_map(
+        np.asarray, jax.device_get(state["ema_params"])))
+    folded = dp.replicate(folded)
+    out = predict_step(folded, dp.shard_batch(images), cfg=cfg,
+                       conf_thres=0.001)
+    # each process can only read its ADDRESSABLE shards of the global
+    # result; sum locally, then allgather the per-host sums
+    local_total = int(sum(int(np.sum(np.asarray(s.data)))
+                          for s in out["count"].addressable_shards))
+    if args.num_processes > 1:
+        from jax.experimental import multihost_utils
+        total = int(np.sum(multihost_utils.process_allgather(
+            np.int64(local_total))))
+    else:
+        total = local_total
+
+    print(json.dumps({"process_id": args.process_id, "losses": losses,
+                      "eval_counts": total}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

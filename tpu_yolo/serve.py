@@ -43,7 +43,8 @@ class Detector:
                  max_det: int = 300, compute_dtype=jnp.bfloat16,
                  decode_threads: int = 8, dp=None,
                  ranking: str = "approx",
-                 device_letterbox: bool = False, stage_size: int = 960):
+                 device_letterbox: bool = False, stage_size: int = 960,
+                 max_nms: int = 2048):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
         every local chip (batch_size must divide the data-axis size).
@@ -58,7 +59,16 @@ class Detector:
         resize + pad runs on device in the jitted program
         (ops/letterbox.py) — SURVEY.md §7 step 3's native-replacement
         kernel. Originals longer than stage_size are pre-shrunk on host
-        to fit (ratio folded into the returned boxes)."""
+        to fit (ratio folded into the returned boxes).
+
+        `max_nms`: NMS candidate budget K. 2048 is the reference-parity
+        envelope (covers every above-conf candidate at eval's
+        conf=0.001); at serving conf 0.25 a scene produces far fewer,
+        and the B·K² suppression work is the post-forward cost center
+        at large batch (K=1024: 5,951 vs 4,817 img/s at bs128,
+        BENCH.md). Measured NOT to move bs=1 latency (7.4 ms device
+        either way — the batch-1 forward dominates), so it is a
+        throughput/memory knob, not a latency one."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
@@ -68,11 +78,12 @@ class Detector:
         self._step = functools.partial(
             _predict, cfg=cfg, compute_dtype=compute_dtype,
             conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
-            ranking=ranking)
+            ranking=ranking, max_nms=max_nms)
         self._step_staged = functools.partial(
             _predict_staged, cfg=cfg, out_size=input_size,
             compute_dtype=compute_dtype, conf_thres=conf_thres,
-            iou_thres=iou_thres, max_det=max_det, ranking=ranking)
+            iou_thres=iou_thres, max_det=max_det, ranking=ranking,
+            max_nms=max_nms)
         self._pipe = None
         self._decode_threads = decode_threads
 
@@ -285,21 +296,23 @@ class Detector:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
                                              "conf_thres", "iou_thres",
-                                             "max_det", "ranking"))
+                                             "max_det", "ranking",
+                                             "max_nms"))
 def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
-             max_det, ranking="approx"):
+             max_det, ranking="approx", max_nms=2048):
     x = images.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
-                               ranking=ranking)
+                               ranking=ranking, max_nms=max_nms)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "out_size",
                                              "compute_dtype", "conf_thres",
                                              "iou_thres", "max_det",
-                                             "ranking"))
+                                             "ranking", "max_nms"))
 def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
-                    conf_thres, iou_thres, max_det, ranking="approx"):
+                    conf_thres, iou_thres, max_det, ranking="approx",
+                    max_nms=2048):
     """Device-letterbox serving program: raw staged uint8 -> letterbox
     (ops/letterbox.py, single-resize serving geometry) -> normalize ->
     forward -> NMS, one jitted graph."""
@@ -310,4 +323,4 @@ def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
     x = boxed.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
-                               ranking=ranking)
+                               ranking=ranking, max_nms=max_nms)
