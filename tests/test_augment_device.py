@@ -465,3 +465,241 @@ def test_augment_batch_end_to_end_shapes():
         jnp.asarray(srcs), jax.tree_util.tree_map(jnp.asarray, params_nf),
         out_size=S))
     np.testing.assert_array_equal(out[:, ::-1, ::-1], out_nf)
+
+
+def test_mixup_matches_host_oracle():
+    """Device mosaic-mixup (two composes + Beta blend + HSV + flips) vs
+    the literal host flow: two cv2-composed mosaics, uint8 blend
+    (astype truncation), LUT HSV, flips (dataset.py:42-73,
+    augment.py::mixup; reference dataset.py:382-387)."""
+    from tpu_yolo.data.device_augment import draw_mixup_pair, assemble_mixup
+    from tpu_yolo.ops.augment_device import mixup_augment_batch
+
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.5, "flip_lr": 0.5,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4}
+    rng = np.random.default_rng(21)
+    staged, imgs = _sources(rng, DIMS)
+    labels = [np.array([[1, 0.5, 0.5, 0.4, 0.4]], np.float32)] * 4
+
+    d1, d2, alpha = draw_mixup_pair(random.Random(3),
+                                    np.random.default_rng(3), 0, 4, hyp, S)
+    params, cls, box = assemble_mixup(d1, d2, alpha, lambda i: DIMS[i],
+                                      lambda i: labels[i], S)
+
+    def host_mosaic(d):
+        canvas = np.zeros((2 * S, 2 * S, 3), np.uint8)
+        for q, idx in enumerate(d["indices"]):
+            h, w = DIMS[idx]
+            (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b) = _mosaic_placement(
+                q, d["xc"], d["yc"], w, h, S)
+            canvas[y1a:y2a, x1a:x2a] = imgs[idx][y1b:y2b, x1b:x2b]
+        s = d["s"]
+        M = np.array([[s, 0, d["tx"] - s * S], [0, s, d["ty"] - s * S]],
+                     np.float64)
+        return cv2.warpAffine(canvas, M, dsize=(S, S), borderValue=(0,) * 3)
+
+    m1, m2 = host_mosaic(d1), host_mosaic(d2)
+    blend = (m1.astype(np.float64) * alpha
+             + m2.astype(np.float64) * (1 - alpha)).astype(np.uint8)
+    # LUT HSV on the blend (oracle works in BGR like cv2's host path)
+    bgr = blend[:, :, ::-1].copy()
+    x = np.arange(256, dtype=np.float32)
+    g = d1["gains"]
+    hue, sat, val = cv2.split(cv2.cvtColor(bgr, cv2.COLOR_BGR2HSV))
+    hsv = cv2.merge((cv2.LUT(hue, ((x * g[0]) % 180).astype(np.uint8)),
+                     cv2.LUT(sat, np.clip(x * g[1], 0, 255).astype(np.uint8)),
+                     cv2.LUT(val, np.clip(x * g[2], 0, 255).astype(np.uint8))))
+    want = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[:, :, ::-1]
+    if d1["flip_ud"]:
+        want = want[::-1]
+    if d1["flip_lr"]:
+        want = want[:, ::-1]
+
+    srcs = np.stack([staged[np.array(d1["indices"])],
+                     staged[np.array(d2["indices"])]])[None]  # (1,2,4,S,S,3)
+    got = np.asarray(mixup_augment_batch(
+        jnp.asarray(srcs),
+        jax.tree_util.tree_map(lambda v: jnp.asarray(np.asarray(v)[None]),
+                               params), out_size=S))[0]
+
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.quantile(diff, 0.98) <= 12, np.quantile(diff, 0.98)
+
+    # labels: both mosaics contribute; all normalized
+    assert len(cls) == len(box) and len(cls) >= 1
+    assert (box >= 0).all() and (box <= 1).all()
+
+
+def test_plan_batches_modes_and_count():
+    """Fractional mosaic + mixup: per-sample Bernoulli draws partitioned
+    into homogeneous batches, exactly len(loader) per epoch."""
+    from tpu_yolo.data.device_augment import DeviceAugmentLoader
+
+    class Stub(DeviceAugmentLoader):
+        def __init__(self, n, bs, hyp):
+            self.filenames = ["x"] * n
+            self.batch_size = bs
+            self.hyp = hyp
+            self.mosaic = True
+            self.num_shards, self.shard, self.seed = 1, 0, 0
+
+    hyp = {"mosaic": 0.5, "mix_up": 0.5}
+    stub = Stub(64, 4, hyp)
+    batches = stub._plan_batches(list(range(64)), random.Random(0))
+    assert len(batches) == 16
+    modes = {m for m, _ in batches}
+    assert modes == {"mosaic", "mixup", "plain"}
+    for _, prim in batches:
+        assert len(prim) == 4
+
+    # mosaic prob 0 (trainer cutoff): everything plain
+    stub.mosaic = False
+    batches = stub._plan_batches(list(range(64)), random.Random(0))
+    assert {m for m, _ in batches} == {"plain"} and len(batches) == 16
+
+
+def test_device_augment_loader_mixup_end_to_end(tmp_path):
+    """Loader with fractional mosaic + mixup: every yielded batch is
+    homogeneous, composable by its program, with collate-contract
+    targets."""
+    pytest.importorskip("PIL")
+    from tpu_yolo.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    from tpu_yolo.data.device_augment import DeviceAugmentLoader
+    from tpu_yolo.ops.augment_device import (augment_batch,
+                                             mixup_augment_batch,
+                                             plain_augment_batch)
+
+    rng = np.random.default_rng(31)
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    files = []
+    for i in range(12):
+        p = str(img_dir / f"im{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 256, (70, 90, 3), np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        files.append(p)
+
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.2, "flip_lr": 0.5,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+           "mosaic": 0.6, "mix_up": 0.5}
+    loader = DeviceAugmentLoader(files, S, hyp, batch_size=2, threads=2,
+                                 seed=3)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 6
+    seen = set()
+    for batch in batches:
+        if len(batch) == 4:
+            staged, hw, params, targets = batch
+            out = plain_augment_batch(
+                jnp.asarray(staged), jnp.asarray(hw),
+                jax.tree_util.tree_map(jnp.asarray, params), out_size=S)
+            seen.add("plain")
+        elif np.asarray(batch[0]).ndim == 6:
+            staged, params, targets = batch
+            assert staged.shape == (2, 2, 4, S, S, 3)
+            out = mixup_augment_batch(
+                jnp.asarray(staged),
+                jax.tree_util.tree_map(jnp.asarray, params), out_size=S)
+            seen.add("mixup")
+        else:
+            staged, params, targets = batch
+            out = augment_batch(
+                jnp.asarray(staged),
+                jax.tree_util.tree_map(jnp.asarray, params), out_size=S)
+            seen.add("mosaic")
+        assert np.asarray(out).shape == (2, S, S, 3)
+        box = np.asarray(targets["box"])
+        if len(box):
+            assert (box >= 0).all() and (box <= 1).all()
+        assert set(np.asarray(targets["idx"]).ravel()) <= {0.0, 1.0}
+    assert len(seen) >= 2, seen
+
+
+def test_general_affine_mosaic_matches_cv2():
+    """Rotation/shear mosaic compose (gather path) vs the literal host
+    oracle: paste into the 2S canvas, cv2.warpAffine with the full
+    trans@shear@rot@center matrix (reference dataset.py:324-379)."""
+    from tpu_yolo.data.device_augment import (_compose_affine,
+                                              assemble_mosaic, draw_mosaic)
+    from tpu_yolo.ops.augment_device import _mosaic_affine_general_one
+
+    hyp = {"scale": 0.5, "translate": 0.1, "degrees": 10.0, "shear": 4.0,
+           "flip_ud": 0.0, "flip_lr": 0.0, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4}
+    rng = np.random.default_rng(41)
+    staged, imgs = _sources(rng, DIMS)
+    labels = [np.array([[1, 0.5, 0.5, 0.4, 0.4]], np.float32)] * 4
+
+    for seed in (1, 2, 3):
+        d = draw_mosaic(random.Random(seed), np.random.default_rng(seed),
+                        0, 4, hyp, S)
+        assert "angle" in d and "shear_x" in d
+        params, cls, box = assemble_mosaic(
+            d, lambda i: DIMS[i], lambda i: labels[i], S, general=True)
+        assert params["minv"].shape == (2, 3)
+
+        canvas = np.zeros((2 * S, 2 * S, 3), np.uint8)
+        for q, idx in enumerate(d["indices"]):
+            h, w = DIMS[idx]
+            (x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b) = _mosaic_placement(
+                q, d["xc"], d["yc"], w, h, S)
+            canvas[y1a:y2a, x1a:x2a] = imgs[idx][y1b:y2b, x1b:x2b]
+        M = _compose_affine(d["s"], d["angle"], d["shear_x"], d["shear_y"],
+                            d["tx"], d["ty"], S, S)
+        want = cv2.warpAffine(canvas, M[:2], dsize=(S, S),
+                              borderValue=(0, 0, 0))
+
+        got = np.asarray(_mosaic_affine_general_one(
+            jnp.asarray(staged[np.array(d["indices"])], jnp.float32),
+            jnp.asarray(params["minv"]),
+            jnp.asarray(params["shift_x"]), jnp.asarray(params["shift_y"]),
+            jnp.asarray(params["lo_x"]), jnp.asarray(params["hi_x"]),
+            jnp.asarray(params["lo_y"]), jnp.asarray(params["hi_y"]),
+            out_size=S))
+        diff = np.abs(np.round(got).astype(np.int16)
+                      - want.astype(np.int16))
+        assert diff.mean() < 2.0, (seed, diff.mean())
+        assert np.quantile(diff, 0.98) <= 8, (seed, np.quantile(diff, 0.98))
+
+        # labels go through the full-matrix warp; normalized output
+        assert (box >= 0).all() and (box <= 1).all()
+
+
+def test_general_affine_loader_end_to_end(tmp_path):
+    """degrees/shear != 0 no longer raises: the loader emits minv-format
+    batches and the general programs compose them."""
+    pytest.importorskip("PIL")
+    from tpu_yolo.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+    from tpu_yolo.data.device_augment import DeviceAugmentLoader
+    from tpu_yolo.ops.augment_device import augment_batch_general
+
+    rng = np.random.default_rng(51)
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    files = []
+    for i in range(4):
+        p = str(img_dir / f"im{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 256, (80, 100, 3), np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        files.append(p)
+
+    hyp = {"scale": 0.5, "translate": 0.1, "degrees": 10.0, "shear": 3.0,
+           "flip_ud": 0.0, "flip_lr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4, "mosaic": 1.0, "mix_up": 0.0}
+    loader = DeviceAugmentLoader(files, S, hyp, batch_size=2, threads=2)
+    assert loader.general
+    staged, params, targets = next(iter(loader))
+    assert params["minv"].shape == (2, 2, 3)
+    out = np.asarray(augment_batch_general(
+        jnp.asarray(staged),
+        jax.tree_util.tree_map(jnp.asarray, params), out_size=S))
+    assert out.shape == (2, S, S, 3) and (out > 0).any()

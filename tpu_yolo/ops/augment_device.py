@@ -30,8 +30,11 @@ kernel (tests/test_augment_device.py).
 Known, documented divergences from the host path: the prescale always
 uses bilinear (host draws a random cv2 interpolation per image in
 augment mode, data/image.py:22); the rare photometric_jitter extras
-(blur/CLAHE/gray/median at p=0.01) are not applied; mixup (default
-prob 0.0) is not supported.
+(blur/CLAHE/gray/median at p=0.01) are not applied. Mixup IS supported
+(mixup_augment_batch — two composed mosaics Beta-blended on device,
+reference dataset.py:382-387), as is fractional mosaic probability
+(the loader partitions samples into homogeneous per-mode batches,
+data/device_augment.py).
 """
 from __future__ import annotations
 
@@ -162,6 +165,160 @@ def plain_augment_batch(staged, hw, params, out_size: int = 640):
     imgs = jax.vmap(one)(boxed, params["inv_scale"], params["off_x"],
                          params["off_y"])
     imgs = jnp.round(imgs)
+    imgs = jax.vmap(hsv_jitter_device)(imgs, params["hsv_gains"])
+    flip_ud = params["flip_ud"][:, None, None, None]
+    flip_lr = params["flip_lr"][:, None, None, None]
+    imgs = jnp.where(flip_ud, imgs[:, ::-1, :, :], imgs)
+    imgs = jnp.where(flip_lr, imgs[:, :, ::-1, :], imgs)
+    return jnp.clip(imgs, 0.0, 255.0).astype(jnp.uint8)
+
+
+def _bilinear_gather(src, sx, sy, lo_x, hi_x, lo_y, hi_y):
+    """Bilinear sample of src (St, St, 3) at float coords (S, S) with a
+    validity window [lo, hi) per axis — the gather counterpart of the
+    masked-tap resample, for NON-separable (rotation/shear) maps.
+    Corner taps outside the window contribute 0 (cv2.warpAffine
+    constant-0 border over the composited canvas)."""
+    st = src.shape[0]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    flat = src.reshape(st * st, src.shape[-1])
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            valid = ((xi >= lo_x) & (xi < hi_x)
+                     & (yi >= lo_y) & (yi < hi_y))
+            w = ((wx if dx else 1.0 - wx) * (wy if dy else 1.0 - wy)
+                 * valid)
+            xc = jnp.clip(xi, 0, st - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, st - 1).astype(jnp.int32)
+            vals = jnp.take(flat, yc * st + xc, axis=0)
+            out = out + w[..., None] * vals.astype(jnp.float32)
+    return out
+
+
+def _mosaic_affine_general_one(srcs, minv, shift_x, shift_y, lo_x, hi_x,
+                               lo_y, hi_y, *, out_size: int):
+    """General-affine mosaic compose (degrees/shear != 0): the canvas
+    coordinate of each output pixel is Minv @ (x_out, y_out, 1); each
+    quadrant k samples its source at canvas - shift_k within its crop
+    window. Gather-based (TPU has no vector gather, so this is the slow
+    exact fallback — the separable MXU path handles the default
+    axis-aligned hyperparameters)."""
+    s = out_size
+    j = jnp.arange(s, dtype=jnp.float32)[None, :]
+    i = jnp.arange(s, dtype=jnp.float32)[:, None]
+    xs = minv[0, 0] * j + minv[0, 1] * i + minv[0, 2]   # canvas coords
+    ys = minv[1, 0] * j + minv[1, 1] * i + minv[1, 2]
+
+    def one_quadrant(src, ox, oy, lx, hx, ly, hy):
+        return _bilinear_gather(src, xs - ox, ys - oy, lx, hx, ly, hy)
+
+    parts = jax.vmap(one_quadrant)(srcs, shift_x, shift_y, lo_x, hi_x,
+                                   lo_y, hi_y)
+    return jnp.clip(parts.sum(0), 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def augment_batch_general(srcs, params, out_size: int = 640):
+    """augment_batch for the general-affine (rotation/shear) mode.
+
+    params: minv (B, 2, 3) canvas<-output inverse affines,
+    shift_x/shift_y/lo_x/hi_x/lo_y/hi_y (B, 4) per-quadrant placement,
+    hsv_gains (B, 3), flip_lr/flip_ud (B,)."""
+    fn = functools.partial(_mosaic_affine_general_one, out_size=out_size)
+    imgs = jax.vmap(fn)(srcs, params["minv"], params["shift_x"],
+                        params["shift_y"], params["lo_x"], params["hi_x"],
+                        params["lo_y"], params["hi_y"])
+    imgs = jnp.round(imgs)
+    imgs = jax.vmap(hsv_jitter_device)(imgs, params["hsv_gains"])
+    flip_ud = params["flip_ud"][:, None, None, None]
+    flip_lr = params["flip_lr"][:, None, None, None]
+    imgs = jnp.where(flip_ud, imgs[:, ::-1, :, :], imgs)
+    imgs = jnp.where(flip_lr, imgs[:, :, ::-1, :], imgs)
+    return jnp.clip(imgs, 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def mixup_augment_batch_general(srcs, params, out_size: int = 640):
+    """mixup_augment_batch for the general-affine mode: params holds
+    "a"/"b" general geometry dicts + alpha/hsv_gains/flips."""
+    fn = functools.partial(_mosaic_affine_general_one, out_size=out_size)
+
+    def compose(srcs4, p):
+        return jax.vmap(fn)(srcs4, p["minv"], p["shift_x"], p["shift_y"],
+                            p["lo_x"], p["hi_x"], p["lo_y"], p["hi_y"])
+
+    c1 = jnp.round(compose(srcs[:, 0], params["a"]))
+    c2 = jnp.round(compose(srcs[:, 1], params["b"]))
+    a = params["alpha"][:, None, None, None]
+    imgs = jnp.floor(c1 * a + c2 * (1.0 - a))
+    imgs = jax.vmap(hsv_jitter_device)(imgs, params["hsv_gains"])
+    flip_ud = params["flip_ud"][:, None, None, None]
+    flip_lr = params["flip_lr"][:, None, None, None]
+    imgs = jnp.where(flip_ud, imgs[:, ::-1, :, :], imgs)
+    imgs = jnp.where(flip_lr, imgs[:, :, ::-1, :], imgs)
+    return jnp.clip(imgs, 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def plain_augment_batch_general(staged, hw, params, out_size: int = 640):
+    """plain_augment_batch for the general-affine mode: letterbox (same
+    two-resample structure as the host path), then the full affine via
+    bilinear gathers over the single (S, S) letterboxed source."""
+    from tpu_yolo.ops.letterbox import letterbox_batch
+
+    boxed, _ = letterbox_batch(staged, hw, out_size=out_size,
+                               allow_upscale=True)
+
+    def one(img, minv):
+        z = jnp.zeros((1,), jnp.float32)
+        f = jnp.full((1,), out_size, jnp.float32)
+        return _mosaic_affine_general_one(
+            img[None].astype(jnp.float32), minv, z, z, z, f, z, f,
+            out_size=out_size)
+
+    imgs = jax.vmap(one)(boxed, params["minv"])
+    imgs = jnp.round(imgs)
+    imgs = jax.vmap(hsv_jitter_device)(imgs, params["hsv_gains"])
+    flip_ud = params["flip_ud"][:, None, None, None]
+    flip_lr = params["flip_lr"][:, None, None, None]
+    imgs = jnp.where(flip_ud, imgs[:, ::-1, :, :], imgs)
+    imgs = jnp.where(flip_lr, imgs[:, :, ::-1, :], imgs)
+    return jnp.clip(imgs, 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def mixup_augment_batch(srcs, params, out_size: int = 640):
+    """Mosaic-mixup program: two mosaics composed and Beta-blended.
+
+    Mirrors the host order (data/dataset.py:42-47 + augment.py mixup,
+    reference dataset.py:382-387): each mosaic is composed and rounded
+    to the uint8 grid (cv2.warpAffine emits uint8), blended
+    img1*a + img2*(1-a) then truncated (.astype(np.uint8) floors), and
+    HSV + flips run ONCE on the blend.
+
+    Args:
+      srcs: (B, 2, 4, St, St, 3) uint8 — two staged 4-source sets.
+      params: {"a": geometry dict, "b": geometry dict (inv_scale (B,),
+        off/lo/hi (B, 4) each), "alpha": (B,) Beta(32,32) draws,
+        "hsv_gains": (B, 3), "flip_lr"/"flip_ud": (B,) bool}.
+    Returns (B, S, S, 3) uint8 RGB.
+    """
+    fn = functools.partial(_mosaic_affine_one, out_size=out_size)
+
+    def compose(srcs4, p):
+        return jax.vmap(fn)(srcs4, p["inv_scale"], p["off_x"], p["off_y"],
+                            p["lo_x"], p["hi_x"], p["lo_y"], p["hi_y"])
+
+    c1 = jnp.round(compose(srcs[:, 0], params["a"]))
+    c2 = jnp.round(compose(srcs[:, 1], params["b"]))
+    a = params["alpha"][:, None, None, None]
+    imgs = jnp.floor(c1 * a + c2 * (1.0 - a))
     imgs = jax.vmap(hsv_jitter_device)(imgs, params["hsv_gains"])
     flip_ud = params["flip_ud"][:, None, None, None]
     flip_lr = params["flip_lr"][:, None, None, None]

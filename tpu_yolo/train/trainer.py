@@ -202,22 +202,33 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
 
             for i, batch in enumerate(it):
                 if active is dev_loader:
-                    from tpu_yolo.ops.augment_device import (
-                        augment_batch, plain_augment_batch)
+                    from tpu_yolo.ops import augment_device as AD
 
                     # shard staging + params over the data axis FIRST so
                     # the augment program runs SPMD next to the train
                     # step instead of serializing on one chip
                     sput = lambda x: put(jnp.asarray(x))
-                    if len(batch) == 3:        # mosaic mode
+                    # general-affine (rotation/shear) batches carry the
+                    # "minv" param format and run the gather programs
+                    if len(batch) == 3:        # mosaic / mixup mode
                         staged, aug_params, targets = batch
-                        images = augment_batch(
+                        mix = staged.ndim == 6
+                        gen = "minv" in (aug_params.get("a", aug_params))
+                        prog = (
+                            (AD.mixup_augment_batch_general if gen
+                             else AD.mixup_augment_batch) if mix else
+                            (AD.augment_batch_general if gen
+                             else AD.augment_batch))
+                        images = prog(
                             sput(staged),
                             jax.tree_util.tree_map(sput, aug_params),
                             out_size=args.input_size)
                     else:                      # plain (mosaic cutoff)
                         staged, hw, aug_params, targets = batch
-                        images = plain_augment_batch(
+                        prog = (AD.plain_augment_batch_general
+                                if "minv" in aug_params
+                                else AD.plain_augment_batch)
+                        images = prog(
                             sput(staged), sput(hw),
                             jax.tree_util.tree_map(sput, aug_params),
                             out_size=args.input_size)
