@@ -117,3 +117,112 @@ def test_load_batch_raw_staging(jpegs):
         # outside the placed region: zero
         assert (staged[i, sh:, :] == 0).all()
         assert (staged[i, :, sw:] == 0).all()
+
+
+def test_png_fallback_all_contracts(jpegs, tmp_path):
+    """Non-JPEG images (PNG here) flow through every batch API via the
+    per-image cv2 fallback with the native geometry contracts: the
+    reference decodes anything cv2 reads (utils/dataset.py:100)."""
+    import cv2
+
+    paths, _ = jpegs
+    rng = np.random.default_rng(3)
+    png = str(tmp_path / "extra.png")
+    png_img = cv2.GaussianBlur(
+        rng.integers(0, 255, (300, 500, 3), np.uint8), (7, 7), 3)
+    cv2.imwrite(png, png_img)
+    mixed = [paths[0], png, paths[1]]
+
+    # load_batch (letterbox serving contract, upscale handle)
+    pipe = native_loader.NativePipeline(input_size=640, threads=2,
+                                        allow_upscale=True)
+    batch, metas, nfail = pipe.load_batch(mixed)
+    assert nfail == 0 and (metas[:, 0] > 0).all()
+    r = min(640 / 300, 640 / 500)
+    assert metas[1, 0] == pytest.approx(r, abs=1e-6)
+    assert (metas[1, 3], metas[1, 4]) == (500, 300)
+    # pixels: the letterboxed PNG equals the Python oracle
+    ref, ratio, pad = letterbox(png_img, 640, augment=True)  # upscale
+    diff = np.abs(batch[1].astype(np.int16)
+                  - ref[:, :, ::-1].astype(np.int16))
+    assert diff.mean() < 1.5 and np.quantile(diff, 0.99) <= 6
+
+    # load_batch_raw (device-letterbox staging)
+    staged, dims, nfail = pipe.load_batch_raw(mixed, 256)
+    assert nfail == 0
+    sh, sw, oh, ow = dims[1].astype(int)
+    assert (oh, ow) == (300, 500)
+    d = 256 / 500
+    assert (sh, sw) == (min(int(round(300 * d)), 256),
+                        min(int(round(500 * d)), 256))
+    assert staged[1, :sh, :sw].any() and not staged[1, sh:, :].any()
+
+    # load_batch_scaled (train staging: truncated long-side contract)
+    staged, dims, nfail = pipe.load_batch_scaled(mixed, 256)
+    assert nfail == 0
+    sh, sw, oh, ow = dims[1].astype(int)
+    r = 256 / 500
+    assert (sh, sw, oh, ow) == (int(300 * r), 256, 300, 500)
+    assert staged[1, :sh, :sw].any()
+
+    # a file neither decoder reads is still a failure
+    bad = str(tmp_path / "junk.png")
+    open(bad, "wb").write(b"not an image at all")
+    _, metas, nfail = pipe.load_batch([paths[0], bad])
+    assert nfail == 1 and metas[1, 0] == -1
+
+
+def test_png_through_device_augment_and_stream(jpegs, tmp_path):
+    """End-to-end: a PNG-containing dataset trains via --device-augment
+    staging and serves via Detector.stream with correct boxes."""
+    import cv2
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.data.device_augment import DeviceAugmentLoader
+    from tpu_yolo.ops.augment_device import augment_batch
+
+    rng = np.random.default_rng(5)
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    files = []
+    for i in range(4):
+        ext = "png" if i == 1 else "jpg"
+        p = str(img_dir / f"im{i}.{ext}")
+        cv2.imwrite(p, rng.integers(0, 256, (90, 120, 3), np.uint8))
+        (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        files.append(p)
+
+    hyp = {"scale": 0.5, "translate": 0.1, "flip_ud": 0.0, "flip_lr": 0.5,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+           "mosaic": 1.0, "mix_up": 0.0}
+    loader = DeviceAugmentLoader(files, 128, hyp, batch_size=4, threads=2)
+    staged, params, targets = next(iter(loader))
+    # every quadrant decoded (no blank slots): each mosaic uses 4 picks
+    # from 4 files, so the PNG appears somewhere
+    assert not [(b, q) for b in range(4) for q in range(4)
+                if not staged[b, q].any()]
+    out = np.asarray(augment_batch(
+        jnp.asarray(staged),
+        jax.tree_util.tree_map(jnp.asarray, params), out_size=128))
+    assert out.shape == (4, 128, 128, 3)
+
+    # serving: stream over a PNG returns boxes in original pixel space
+    from tpu_yolo.core.config import ModelConfig
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.serve import Detector
+
+    cfg = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
+                      csp=(False, True), num_classes=8)
+    params_m = yolov11.fold_batchnorm(
+        yolov11.init_params(jax.random.PRNGKey(0), cfg))
+    det = Detector(params_m, cfg, input_size=128, conf_thres=1e-6)
+    results = list(det.stream([files[1]], batch_size=1))
+    assert len(results) == 1
+    assert "error" not in results[0]
+    b = results[0]["boxes"]
+    if len(b):
+        assert (b[:, [0, 2]] <= 120).all() and (b[:, [1, 3]] <= 90).all()

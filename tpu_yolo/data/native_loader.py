@@ -73,6 +73,7 @@ class NativePipeline:
             raise RuntimeError("native library unavailable; run `make -C native`")
         self._lib = lib
         self.input_size = input_size
+        self.allow_upscale = allow_upscale
         self._h = lib.ip_create(threads, input_size, int(allow_upscale))
 
     def __del__(self):
@@ -108,7 +109,87 @@ class NativePipeline:
             self._h, arr, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             metas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if nfail:
+            nfail = self._fallback(paths, metas[:, 0] < 0, out, metas,
+                                   self._fb_letterbox)
         return out, metas, int(nfail)
+
+    # -- per-image Python fallback (non-JPEG / exotic JPEG) --------------
+    # The C++ pipeline is libjpeg-only (native/image_pipeline.cc); the
+    # reference decodes anything cv2 reads (utils/dataset.py:100). Any
+    # slot the native pool fails is retried here through cv2 with the
+    # SAME geometry contract, so PNG/BMP/WebP files flow through
+    # Detector.stream and --device-augment instead of becoming blank
+    # slots. Only files cv2 also rejects remain failures (dims/meta -1).
+
+    def _fallback(self, paths, bad_mask, out, meta, fill_one) -> int:
+        import cv2
+
+        remaining = 0
+        for i in np.flatnonzero(bad_mask):
+            img = cv2.imread(paths[int(i)])  # BGR, any format cv2 knows
+            if img is None:
+                remaining += 1
+                continue
+            fill_one(img, out[int(i)], meta[int(i)])
+        return remaining
+
+    def _fb_letterbox(self, img, out_i, meta_i):
+        """load_batch contract: single-resize letterbox, RGB, meta
+        (ratio, pad_w, pad_h, orig_w, orig_h); allow_upscale unclamps
+        the ratio (the native pipeline's combined min(s/h, s/w) —
+        serve.py::_decode_batch docstring). Padding uses the frozen
+        round(x -/+ 0.1) split (data/image.py::letterbox)."""
+        import cv2
+
+        h, w = img.shape[:2]
+        s = self.input_size
+        r = min(s / h, s / w)
+        if not self.allow_upscale:
+            r = min(r, 1.0)
+        new_w, new_h = int(round(w * r)), int(round(h * r))
+        if (new_w, new_h) != (w, h):
+            img = cv2.resize(img, (new_w, new_h),
+                             interpolation=cv2.INTER_LINEAR)
+        pad_w, pad_h = (s - new_w) / 2, (s - new_h) / 2
+        top = int(round(pad_h - 0.1))
+        left = int(round(pad_w - 0.1))
+        out_i[:] = 0
+        out_i[top:top + new_h, left:left + new_w] = img[:, :, ::-1]
+        meta_i[:] = (r, pad_w, pad_h, w, h)
+
+    def _fb_raw(self, stage):
+        def fill(img, out_i, dims_i):
+            import cv2
+
+            h, w = img.shape[:2]
+            sh, sw = h, w
+            if max(h, w) > stage:
+                d = stage / max(h, w)
+                sw = min(int(round(w * d)), stage)
+                sh = min(int(round(h * d)), stage)
+                img = cv2.resize(img, (sw, sh),
+                                 interpolation=cv2.INTER_LINEAR)
+            out_i[:] = 0
+            out_i[:sh, :sw] = img[:, :, ::-1]
+            dims_i[:] = (sh, sw, h, w)
+        return fill
+
+    def _fb_scaled(self, stage):
+        def fill(img, out_i, dims_i):
+            import cv2
+
+            h, w = img.shape[:2]
+            sh, sw = h, w
+            r = stage / max(h, w)
+            if max(h, w) != stage:  # the load_image contract: truncated
+                sh, sw = max(int(h * r), 1), max(int(w * r), 1)
+                img = cv2.resize(img, (sw, sh),
+                                 interpolation=cv2.INTER_LINEAR)
+            out_i[:] = 0
+            out_i[:sh, :sw] = img[:, :, ::-1]
+            dims_i[:] = (sh, sw, h, w)
+        return fill
 
     def load_batch_raw(self, paths: list[str], stage: int):
         """Parallel decode into a RAW (N, stage, stage, 3) top-left
@@ -124,6 +205,9 @@ class NativePipeline:
             self._h, arr, n, stage,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if nfail:
+            nfail = self._fallback(paths, dims[:, 0] < 0, out, dims,
+                                   self._fb_raw(stage))
         return out, dims, int(nfail)
 
     def load_batch_scaled(self, paths: list[str], stage: int):
@@ -141,4 +225,7 @@ class NativePipeline:
             self._h, arr, n, stage,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if nfail:
+            nfail = self._fallback(paths, dims[:, 0] < 0, out, dims,
+                                   self._fb_scaled(stage))
         return out, dims, int(nfail)
