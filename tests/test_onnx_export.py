@@ -81,3 +81,65 @@ def test_export_rejects_unknown_primitive(tmp_path):
     closed = jax.make_jaxpr(bad)(jnp.ones((4, 4)))
     with pytest.raises(NotImplementedError, match="cumsum"):
         _Converter().run(closed.jaxpr, closed.consts, {})
+
+
+def test_dynamic_batch_one_artifact_many_batches(tmp_path):
+    """One dynamic-batch artifact (the reference exports dynamic axes,
+    utils/util.py:47-66) must run at b=1 AND b=4 with correct numerics:
+    batch-dependent Reshape/Expand targets are rebuilt at runtime from
+    Shape(images)."""
+    params = yolov11.init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "dyn.onnx")
+    meta = export_onnx(params, TINY, 64, path)  # dynamic by default
+    assert meta["input"] == "float32[batch,3,64,64]"
+    assert "batch" in str(meta["output"])
+
+    g, _ = parse_model(open(path, "rb").read())
+    assert any(n.op_type == "Shape" for n in g.nodes)
+    folded = yolov11.fold_batchnorm(params)
+    rng = np.random.default_rng(1)
+    for b in (1, 4):
+        x = rng.random((b, 3, 64, 64), np.float32)
+        got = run_graph(g, {"images": x})["output"]
+        want = np.asarray(yolov11.forward(
+            folded, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), TINY,
+            train=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dynamic_batch_attention_model(tmp_path):
+    """Attention merges batch with head count in dot reshapes
+    (batch*m); the sentinel-divisibility rewrite must handle it."""
+    cfg = get_model_config("n", num_classes=4)
+    params = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "dyn_n.onnx")
+    export_onnx(params, cfg, 96, path)
+    g, _ = parse_model(open(path, "rb").read())
+    folded = yolov11.fold_batchnorm(params)
+    rng = np.random.default_rng(2)
+    for b in (1, 3):
+        x = rng.random((b, 3, 96, 96), np.float32)
+        got = run_graph(g, {"images": x})["output"]
+        want = np.asarray(yolov11.forward(
+            folded, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), cfg,
+            train=False))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_dynamic_batch_with_onnx_packages(tmp_path):
+    """When the real `onnx` / `onnxruntime` packages exist, the dynamic
+    artifact must pass the checker and execute at two batch sizes."""
+    onnx = pytest.importorskip("onnx")
+    params = yolov11.init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "dyn.onnx")
+    export_onnx(params, TINY, 64, path)
+    model = onnx.load(path)
+    onnx.checker.check_model(model)
+    ort = pytest.importorskip("onnxruntime")
+    sess = ort.InferenceSession(path)
+    rng = np.random.default_rng(3)
+    for b in (1, 4):
+        x = rng.random((b, 3, 64, 64), np.float32)
+        (out,) = sess.run(None, {"images": x})
+        assert out.shape[0] == b

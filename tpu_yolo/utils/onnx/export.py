@@ -74,11 +74,73 @@ def _reshape(g, x, shape):
 
 
 class _Converter:
-    def __init__(self):
+    def __init__(self, batch_sentinel: int | None = None):
         self.g = _Graph()
         self.names = {}       # jaxpr Var -> onnx value name
         self.consts = {}      # jaxpr Var -> np.ndarray (statically known)
         self.const_hints = {}  # jaxpr Var -> initializer name hint
+        # dynamic batch: the graph is traced at a sentinel batch size
+        # (a prime that divides no other dim in the network); any shape
+        # entry divisible by it is batch-dependent (batch merged with
+        # head counts in attention reshapes appears as sentinel*m) and
+        # is rebuilt at RUNTIME from Shape(images). _batch_ref is a
+        # shared one-slot box so inlined sub-jaxpr converters reuse the
+        # same Shape/Gather nodes.
+        self.batch_sentinel = batch_sentinel
+        self._batch_ref = [None]
+
+    def _batch_dim(self) -> str:
+        """i64[1] runtime batch size (lazy Shape(images) -> Gather[0])."""
+        if self._batch_ref[0] is None:
+            shp = self.g.add("Shape", ["images"], hint="shp")
+            self._batch_ref[0] = self.g.add(
+                "Gather", [shp, self.g.const_i64([0])],
+                attrs=[attr_int("axis", 0)], hint="bdim")
+        return self._batch_ref[0]
+
+    def _is_batch(self, d: int) -> bool:
+        b0 = self.batch_sentinel
+        return bool(b0) and d > 0 and d % b0 == 0
+
+    def shape_operand(self, dims) -> str:
+        """i64 shape tensor for Reshape/Expand: static const when no
+        entry is batch-dependent, else a Concat of static runs and
+        batch*m pieces computed from the runtime batch dim."""
+        dims = [int(d) for d in dims]
+        if not any(self._is_batch(d) for d in dims):
+            return self.g.const_i64(dims, hint="shape")
+        parts, run = [], []
+
+        def flush():
+            if run:
+                parts.append(self.g.const_i64(list(run)))
+                run.clear()
+
+        for d in dims:
+            if self._is_batch(d):
+                flush()
+                m = d // self.batch_sentinel
+                b = self._batch_dim()
+                parts.append(b if m == 1 else self.g.add(
+                    "Mul", [b, self.g.const_i64([m])], hint="bmul"))
+            else:
+                run.append(d)
+        flush()
+        if len(parts) == 1:
+            return parts[0]
+        return self.g.add("Concat", parts, attrs=[attr_int("axis", 0)],
+                          hint="dynshape")
+
+    def rs(self, x: str, shape) -> str:
+        """Reshape via shape_operand (batch-polymorphic)."""
+        return self.g.add("Reshape", [x, self.shape_operand(shape)],
+                          hint="rs")
+
+    def sym_dims(self, shape):
+        """value_info dims with batch-dependent entries as dim_params."""
+        return [(("batch" if d // self.batch_sentinel == 1
+                  else f"batch*{d // self.batch_sentinel}")
+                 if self._is_batch(d) else int(d)) for d in shape]
 
     # -- value access ------------------------------------------------------
     def known(self, v):
@@ -123,9 +185,10 @@ class _Converter:
                 closed = inner if hasattr(inner, "jaxpr") else None
                 ij = closed.jaxpr if closed else inner
                 iconsts = closed.consts if closed else []
-                sub = _Converter()
+                sub = _Converter(batch_sentinel=self.batch_sentinel)
                 sub.g = self.g
                 sub.g_shared = True
+                sub._batch_ref = self._batch_ref  # share lazy Shape node
                 for var, cv in zip(ij.constvars, iconsts):
                     sub.consts[var] = np.asarray(cv)
                 n_const = len(ij.invars) - len(eqn.invars)
@@ -307,16 +370,16 @@ class _Converter:
 
     def p_reshape(self, eqn):
         assert eqn.params.get("dimensions") is None
-        self.names[eqn.outvars[0]] = _reshape(
-            self.g, self.name(eqn.invars[0]), eqn.params["new_sizes"])
+        self.names[eqn.outvars[0]] = self.rs(
+            self.name(eqn.invars[0]), eqn.params["new_sizes"])
 
     def p_squeeze(self, eqn):
-        self.names[eqn.outvars[0]] = _reshape(
-            self.g, self.name(eqn.invars[0]), eqn.outvars[0].aval.shape)
+        self.names[eqn.outvars[0]] = self.rs(
+            self.name(eqn.invars[0]), eqn.outvars[0].aval.shape)
 
     def p_expand_dims(self, eqn):
-        self.names[eqn.outvars[0]] = _reshape(
-            self.g, self.name(eqn.invars[0]), eqn.outvars[0].aval.shape)
+        self.names[eqn.outvars[0]] = self.rs(
+            self.name(eqn.invars[0]), eqn.outvars[0].aval.shape)
 
     def p_broadcast_in_dim(self, eqn):
         x = self.name(eqn.invars[0])
@@ -327,11 +390,10 @@ class _Converter:
         for i, d in enumerate(bdims):
             mid[d] = in_shape[i]
         if tuple(mid) != tuple(in_shape):
-            x = _reshape(self.g, x, mid)
+            x = self.rs(x, mid)
         if tuple(mid) != tuple(shape):
             x = self.g.add(
-                "Expand", [x, self.g.const_i64(shape, hint="shape")],
-                hint="ex")
+                "Expand", [x, self.shape_operand(shape)], hint="ex")
         self.names[eqn.outvars[0]] = x
 
     def p_concatenate(self, eqn):
@@ -341,7 +403,12 @@ class _Converter:
 
     def p_slice(self, eqn):
         starts = eqn.params["start_indices"]
-        ends = eqn.params["limit_indices"]
+        in_shape = eqn.invars[0].aval.shape
+        # full-extent ends become INT64-huge (the ONNX clamp idiom) so a
+        # "take everything" slice stays correct when the dim is the
+        # runtime batch
+        ends = [int(2 ** 62) if e >= in_shape[i] else int(e)
+                for i, e in enumerate(eqn.params["limit_indices"])]
         strides = eqn.params["strides"] or (1,) * len(starts)
         axes = list(range(len(starts)))
         self.names[eqn.outvars[0]] = self.g.add(
@@ -451,14 +518,14 @@ class _Converter:
             tgt = (bs + [int(np.prod(fs or [1])), int(np.prod(cs or [1]))]
                    if contract_last else
                    bs + [int(np.prod(cs or [1])), int(np.prod(fs or [1]))])
-            n = _reshape(self.g, n, tgt)
+            n = self.rs(n, tgt)
             return n, bs, fs
 
         ln, bs, lfs = arrange(lhs, lshape, lb, lc, True)
         rn, _, rfs = arrange(rhs, rshape, rb, rc, False)
         mm = self.g.add("MatMul", [ln, rn], hint="mm")
         out_shape = bs + lfs + rfs
-        self.names[eqn.outvars[0]] = _reshape(self.g, mm, out_shape)
+        self.names[eqn.outvars[0]] = self.rs(mm, out_shape)
 
     def p_split(self, eqn):
         sizes = eqn.params["sizes"]
@@ -487,19 +554,34 @@ class _Converter:
                     self.name(eqn.invars[1])], hint="pad")
 
 
+# Dynamic-batch trace sentinel: a prime that divides no other dimension
+# in the network family (channels are powers-of-two multiples of 8/16,
+# spatial dims multiples of 32, anchor counts 21*size^2/1024) — any
+# traced dim divisible by it is batch-dependent.
+_BATCH_SENTINEL = 13
+
+
 def export_onnx(params, cfg: ModelConfig, input_size: int, path: str,
-                batch: int = 1):
+                batch: int = 1, dynamic_batch: bool = True):
     """Export the BN-folded eval forward (decode included, no NMS) to an
     ONNX file at `path`. Input "images": (batch, 3, S, S) f32 in [0,1]
     (NCHW like the reference artifact); output "output": (batch, A,
-    4+nc) pixel xywh + class probabilities. Returns metadata dict."""
+    4+nc) pixel xywh + class probabilities. Returns metadata dict.
+
+    dynamic_batch=True (default) emits the batch axis as a dim_param
+    like the reference artifact (utils/util.py:47-66 dynamic_axes):
+    the graph is traced at a sentinel batch and every batch-dependent
+    Reshape/Expand target is rebuilt at runtime from Shape(images), so
+    ONE file serves any batch size (anchors stay static per input
+    size). `batch` then only matters for dynamic_batch=False."""
     params = yolov11.fold_batchnorm(params)
 
     def fwd(p, img):
         x = jnp.transpose(img, (0, 2, 3, 1))
         return yolov11.forward(p, x, cfg, train=False)
 
-    spec = jax.ShapeDtypeStruct((batch, 3, input_size, input_size),
+    b0 = _BATCH_SENTINEL if dynamic_batch else batch
+    spec = jax.ShapeDtypeStruct((b0, 3, input_size, input_size),
                                 jnp.float32)
     closed = jax.make_jaxpr(fwd)(params, spec)
     jaxpr = closed.jaxpr
@@ -511,7 +593,8 @@ def export_onnx(params, cfg: ModelConfig, input_size: int, path: str,
     n_params = len(flat)
     assert len(jaxpr.invars) == n_params + 1
 
-    conv = _Converter()
+    conv = _Converter(
+        batch_sentinel=_BATCH_SENTINEL if dynamic_batch else None)
     param_leaves = {
         var: (leaf_names[i], np.asarray(flat[i], np.float32))
         for i, var in enumerate(jaxpr.invars[:n_params])}
@@ -522,18 +605,23 @@ def export_onnx(params, cfg: ModelConfig, input_size: int, path: str,
     out_name = conv.name(outv)
     conv.g.add("Identity", [out_name], outputs=["output"])
 
+    if dynamic_batch:
+        in_dims = ["batch", 3, input_size, input_size]
+        out_dims = conv.sym_dims(outv.aval.shape)
+    else:
+        in_dims = (batch, 3, input_size, input_size)
+        out_dims = outv.aval.shape
     g = wire.graph(
         "tpu_yolo", conv.g.nodes,
-        inputs=[value_info("images", wire.F32,
-                           (batch, 3, input_size, input_size))],
-        outputs=[value_info("output", wire.F32, outv.aval.shape)],
+        inputs=[value_info("images", wire.F32, in_dims)],
+        outputs=[value_info("output", wire.F32, out_dims)],
         initializers=conv.g.inits)
     blob = wire.model(g)
     with open(path, "wb") as f:
         f.write(blob)
     return {
         "path": path, "bytes": len(blob), "opset": 17,
-        "input": f"float32[{batch},3,{input_size},{input_size}]",
-        "output": f"float32{list(outv.aval.shape)}",
+        "input": f"float32[{','.join(str(d) for d in in_dims)}]",
+        "output": f"float32{list(out_dims)}",
         "nodes": len(conv.g.nodes), "initializers": len(conv.g.inits),
     }

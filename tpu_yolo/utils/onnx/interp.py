@@ -132,6 +132,11 @@ def run_graph(g: Graph, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             for name, piece in zip(n.outputs, pieces):
                 env[name] = piece
             continue
+        elif t == "Shape":
+            out = np.asarray(i[0].shape, np.int64)
+        elif t == "Gather":
+            out = np.take(i[0], i[1].astype(np.int64),
+                          axis=n.attrs.get("axis", 0))
         elif t == "Pad":
             pads = [int(p) for p in i[1]]
             k = len(pads) // 2
