@@ -88,6 +88,106 @@ def match_rate(ex, ap, img, iou_thr=0.9, min_score=0.0):
     return fwd, bwd, len(se), len(sa)
 
 
+def make_object_scene(rng, batch, a=8400, nc=80, objects_mean=30,
+                      size=640):
+    """Decoded preds with REALISTIC redundancy: each planted object
+    spawns a cluster of 8-40 candidates whose boxes are small jitters
+    of the object box (IoU ~0.75-0.95 with it) — the way a trained head
+    emits many near-duplicate predictions per object that NMS
+    re-collapses. Background anchors keep random low-score boxes.
+
+    Returns (preds (B, A, 4+nc), objects: per-image list of
+    (cls, x1, y1, x2, y2))."""
+    logits = rng.normal(-9.0, 1.5, (batch, a, nc)).astype(np.float32)
+    xy = rng.uniform(40, size - 40, (batch, a, 2)).astype(np.float32)
+    wh = rng.uniform(8, 200, (batch, a, 2)).astype(np.float32)
+
+    objects = [[] for _ in range(batch)]
+    for b in range(batch):
+        for _ in range(rng.poisson(objects_mean)):
+            cls = int(rng.integers(0, nc))
+            cx, cy = rng.uniform(60, size - 60, 2)
+            w, h = rng.uniform(20, 180, 2)
+            objects[b].append((cls, cx - w / 2, cy - h / 2,
+                               cx + w / 2, cy + h / 2))
+            k = int(rng.integers(8, 40))
+            idx = rng.integers(0, a, k)
+            # cluster: same box +- a few px, scores spread so the
+            # cluster has one clear winner and a redundant tail
+            jit = rng.normal(0, 0.03, (k, 2)) * [w, h]
+            jw = np.exp(rng.normal(0, 0.06, (k, 2)))
+            xy[b, idx] = np.array([cx, cy]) + jit
+            wh[b, idx] = np.array([w, h]) * jw
+            logits[b, idx, cls] = np.sort(
+                rng.normal(1.5, 1.8, k))[::-1]  # top ~conf 0.95
+    scores = 1.0 / (1.0 + np.exp(-logits))
+    preds = np.concatenate([xy, wh, scores], axis=-1)
+    return preds, objects
+
+
+def object_recall(res, objects, img, iou_thr=0.5):
+    """Fraction of planted objects matched by a final detection (same
+    class, IoU >= iou_thr) — the metric that matters for mAP."""
+    obj = objects[img]
+    if not obj:
+        return None
+    n = int(res["count"][img])
+    if n == 0:
+        return 0.0
+    boxes = np.asarray(res["boxes"][img][:n])
+    cls = np.asarray(res["classes"][img][:n])
+    hit = 0
+    for (c, x1, y1, x2, y2) in obj:
+        m = cls == c
+        if not m.any():
+            continue
+        bb = boxes[m]
+        ix1 = np.maximum(bb[:, 0], x1)
+        iy1 = np.maximum(bb[:, 1], y1)
+        ix2 = np.minimum(bb[:, 2], x2)
+        iy2 = np.minimum(bb[:, 3], y2)
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        area_b = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
+        area_o = (x2 - x1) * (y2 - y1)
+        iou = inter / (area_b + area_o - inter + 1e-12)
+        if (iou >= iou_thr).any():
+            hit += 1
+    return hit / len(obj)
+
+
+def object_level_section(rng, rows):
+    """Object-level recall across (ranking, K) on clustered scenes —
+    the serving-default decision record (VERDICT r2 weak #4)."""
+    import jax
+    from tpu_yolo.ops.nms import batched_nms
+
+    configs = [("exact", 2048), ("approx", 2048),
+               ("exact", 1024), ("approx", 1024), ("approx", 512)]
+    acc = {c: [] for c in configs}
+    dets = {c: 0 for c in configs}
+    n_obj = 0
+    for trial in range(4):
+        preds, objects = make_object_scene(rng, batch=16)
+        n_obj += sum(len(o) for o in objects)
+        for c in configs:
+            ranking, k = c
+            res = jax.device_get(batched_nms(
+                preds, conf_thres=0.001, ranking=ranking, max_nms=k))
+            dets[c] += int(np.sum(res["count"]))
+            for img in range(preds.shape[0]):
+                r = object_recall(res, objects, img)
+                if r is not None:
+                    acc[c].append(r)
+    for c in configs:
+        rows.append({
+            "scene": "clustered-objects", "ranking": c[0], "max_nms": c[1],
+            "objects": n_obj, "final_dets": dets[c],
+            "object_recall": round(float(np.mean(acc[c])), 4),
+            "backend": jax.default_backend(),
+        })
+        print(json.dumps(rows[-1]))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -97,6 +197,7 @@ def main():
 
     rng = np.random.default_rng(0)
     rows = []
+    object_level_section(rng, rows)
     for conf, tiers in ((0.001, (0.0, 0.05, 0.25)), (0.25, (0.0,))):
         stats = {t: {"fwd": [], "bwd": [], "ne": 0, "na": 0} for t in tiers}
         for trial in range(4):

@@ -245,8 +245,12 @@ def detection_loss(raw_maps, gt, hyp: dict, cfg: ModelConfig):
     stride_t = jnp.asarray(stride_t)                          # (A, 1)
 
     # decode boxes in grid units (expectation over the bin distribution)
-    dist = jax.nn.softmax(pred_dist.reshape(bsz, -1, 4, reg), axis=-1) @ \
-        jnp.arange(reg, dtype=jnp.float32)
+    # via the fused Σe·j/Σe form — softmax @ arange is a dot, which
+    # forces the (B, A, 4, reg) f32 prob tensor through HBM (275 MB at
+    # bs128/640, and again in the backward); same math as
+    # ops/boxes.py::dfl_expectation
+    from tpu_yolo.ops.boxes import dfl_expectation
+    dist = dfl_expectation(pred_dist.reshape(bsz, -1, 4, reg), reg)
     lt, rb = jnp.split(dist, 2, axis=-1)
     pred_boxes = jnp.concatenate((anchors - lt, anchors + rb), axis=-1)  # (B, A, 4)
 
