@@ -8,7 +8,7 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-import pathlib
+import pathlib  # noqa: E402
 
 import numpy as np
 import pytest
@@ -25,6 +25,14 @@ jax.config.update("jax_platforms", "cpu")
 # XLA's default conv/matmul precision on CPU/TPU uses fast lower-precision
 # passes, so pin full f32 for the test session.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache: the suite's cost is dominated by XLA
+# compiles of the same small programs; cached entries make re-runs and
+# the e2e CLI subprocesses (which share this dir via
+# JAX_COMPILATION_CACHE_DIR) far cheaper.
+_CACHE = str(pathlib.Path(__file__).parent.parent / ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 

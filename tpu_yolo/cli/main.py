@@ -140,6 +140,17 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent XLA compile cache (entries are keyed by platform, so
+    # TPU runs and CPU test runs coexist); JAX_COMPILATION_CACHE_DIR
+    # overrides, e.g. the e2e tests pointing every CLI subprocess at
+    # one shared dir.
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+
     if args.distributed:
         import jax
         jax.distributed.initialize()
