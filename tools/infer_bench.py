@@ -92,6 +92,10 @@ def main():
     ap.add_argument("--max-nms", type=int, default=None,
                     help="candidate budget K (default: forward_nms's "
                          "2048 parity budget; 1024 = serving config)")
+    ap.add_argument("--ranking", default=None,
+                    choices=["exact", "approx"],
+                    help="candidate ranking (default approx = serving; "
+                         "exact = the eval/parity configuration)")
     ap.add_argument("--latency", action="store_true",
                     help="bs=1 p50 latency of the production serving "
                          "program (serve._predict, conf 0.25) with "
@@ -116,15 +120,17 @@ def main():
 
     if args.latency:
         return run_latency(args, cfg, params)
-    if args.max_nms:
-        import functools
+    if args.max_nms or args.ranking:
         import jax.numpy as jnp
+
+        kw = {"ranking": args.ranking or "approx"}
+        if args.max_nms:
+            kw["max_nms"] = args.max_nms
 
         @jax.jit
         def step(p, images):
             return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
-                                       ranking="approx",
-                                       max_nms=args.max_nms)
+                                       **kw)
     else:
         step = build_step(cfg, params, args.batch)
 
