@@ -151,6 +151,14 @@ def nms_from_raw(raw_maps, cfg, input_hw,
         (B, K, 4*reg_max) logits and decoding candidates (~12% e2e,
         BENCH.md) — the gather cost is per-ROW (scalar core), so narrow
         rows win.
+
+    Measured and rejected (bench.py A/B, 2026-08-17): ranking each head
+    level separately with approx_max_k and merging the 3*K survivors
+    with one small exact top_k — meant to skip the (B, A*nc) concat —
+    dropped bs128 serving from 4,835 to 3,016 img/s: three narrower
+    sorts + the index merge/gather cost far more than the concat copy
+    they avoid, and the per-level slices break the head-map fusion the
+    single flatten enjoys. The single global ranking stays.
     """
     from tpu_yolo.ops.anchors import make_anchors
     from tpu_yolo.ops.boxes import dfl_decode
