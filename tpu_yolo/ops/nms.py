@@ -269,18 +269,25 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
     slots = jnp.arange(1, max_det + 1, dtype=jnp.int32)
     sel = ((cum[:, :, None] == slots[None, None, :])
            & keep[:, :, None]).astype(jnp.float32)            # (B, K, M)
-    pick = lambda v: jnp.einsum("bkj,bk->bj", sel, v,
-                                precision=jax.lax.Precision.HIGHEST)
     out_valid = slots[None, :] <= cum[:, -1:]
-    out_boxes = jnp.einsum("bkj,bkc->bjc", sel, cand_boxes,
-                           precision=jax.lax.Precision.HIGHEST)
+    # Boxes, score and class ride ONE selection matmul as 6 channels
+    # (verified in the optimized HLO: a single f32[B,300,6] dot replaces
+    # the three separate picks). Throughput-neutral on the bs128 bench
+    # (4,842 vs 4,835 img/s — the picks were already sub-0.2 ms), kept
+    # for the smaller program. Products are identical (≤1 hit per slot,
+    # f32 HIGHEST), so outputs are bit-exact vs the separate picks;
+    # the int32 class survives the f32 round-trip exactly (nc < 2^24).
+    payload = jnp.concatenate(
+        [cand_boxes, top_scores[..., None],
+         cls_idx.astype(jnp.float32)[..., None]], axis=-1)    # (B, K, 6)
+    out = jnp.einsum("bkj,bkc->bjc", sel, payload,
+                     precision=jax.lax.Precision.HIGHEST)     # (B, M, 6)
 
     return {
-        "boxes": out_boxes,
-        "scores": pick(top_scores),
+        "boxes": out[..., :4],
+        "scores": out[..., 4],
         "classes": jnp.where(out_valid,
-                             pick(cls_idx.astype(jnp.float32))
-                             .astype(jnp.int32), -1),
+                             out[..., 5].astype(jnp.int32), -1),
         "valid": out_valid,
         "count": out_valid.sum(axis=1).astype(jnp.int32),
     }
