@@ -132,3 +132,32 @@ def test_nms_from_raw_matches_two_stage():
     np.testing.assert_allclose(np.asarray(two["boxes"]),
                                np.asarray(fused["boxes"]), rtol=1e-4, atol=1e-3)
     assert (np.asarray(two["classes"]) == np.asarray(fused["classes"])).all()
+
+
+def test_tiled_greedy_keep_matches_single_block():
+    """Block-decomposed suppression (tiles=2) is bit-identical to the
+    one-block triangular fixpoint at serving-scale K, on scenes with
+    dense same-class overlap clusters (the regime where suppression
+    chains actually cross the tile boundary)."""
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.nms import _greedy_keep
+
+    rng = np.random.default_rng(7)
+    for k in (1024, 2048):
+        n_clusters = k // 8
+        centers = rng.uniform(40, 600, (2, n_clusters, 2))
+        reps = np.repeat(centers, 8, axis=1)          # (2, k, 2)
+        jitter = rng.normal(0, 4.0, reps.shape)
+        wh = rng.uniform(20, 60, (2, k, 2))
+        xy = reps + jitter
+        boxes = np.concatenate([xy - wh / 2, xy + wh / 2], axis=-1)
+        cls_idx = rng.integers(0, 3, (2, k))
+        valid = rng.uniform(size=(2, k)) > 0.05
+
+        b = jnp.asarray(boxes, jnp.float32)
+        c = jnp.asarray(cls_idx, jnp.int32)
+        v = jnp.asarray(valid)
+        tiled = np.asarray(_greedy_keep(b, c, v, iou_thres=0.45, tiles=2))
+        single = np.asarray(_greedy_keep(b, c, v, iou_thres=0.45, tiles=1))
+        assert (tiled == single).all(), k

@@ -192,6 +192,103 @@ def nms_from_raw(raw_maps, cfg, input_hw,
                      max_det=max_det)
 
 
+def _pair_iou_mask(boxes_kill, cls_kill, boxes_vic, cls_vic, iou_thres):
+    """(B, Kk, Kv) bf16 0/1 plane: killer k suppresses victim v
+    (IoU > thr and same class). Per-axis overlap on raw boxes +
+    class-equality (equivalent to the class-offset trick, reference
+    util.py:160-161, without inflating coordinates): scalar planes
+    only — no (B,K,K,2) vector intermediates for XLA to spill."""
+    ax1, ay1, ax2, ay2 = (boxes_kill[..., i] for i in range(4))
+    bx1, by1, bx2, by2 = (boxes_vic[..., i] for i in range(4))
+    iw = jnp.clip(jnp.minimum(ax2[:, :, None], bx2[:, None, :])
+                  - jnp.maximum(ax1[:, :, None], bx1[:, None, :]), 0)
+    ih = jnp.clip(jnp.minimum(ay2[:, :, None], by2[:, None, :])
+                  - jnp.maximum(ay1[:, :, None], by1[:, None, :]), 0)
+    inter = iw * ih
+    area_a = jnp.clip(ax2 - ax1, 0) * jnp.clip(ay2 - ay1, 0)
+    area_b = jnp.clip(bx2 - bx1, 0) * jnp.clip(by2 - by1, 0)
+    iou = inter / (area_a[:, :, None] + area_b[:, None, :] - inter + 1e-12)
+    same_cls = cls_kill[:, :, None] == cls_vic[:, None, :]
+    return ((iou > iou_thres) & same_cls)
+
+
+def _tri_fixpoint(cand_boxes, cls_idx, valid, *, iou_thres):
+    """Jacobi fixpoint of the greedy recurrence within one
+    score-descending block: keep[i] = valid[i] and no kept j < i
+    suppresses i. Exact on the acyclic (strictly upper-triangular)
+    suppression DAG; converges in longest-chain iterations."""
+    k = cand_boxes.shape[1]
+    tri = jnp.arange(k)
+    mask = (_pair_iou_mask(cand_boxes, cls_idx, cand_boxes, cls_idx,
+                           iou_thres)
+            & (tri[:, None] < tri[None, :]) & valid[:, :, None]
+            ).astype(jnp.bfloat16)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < k)
+
+    def body(state):
+        keep, _, it = state
+        # any(mask & keep) as a 0/1 matmul: the reduction over K rides
+        # the MXU instead of a VPU any-reduce over the (B, K, K) mask
+        # (profiled 2.8 ms/iter -> sub-ms at bs128/K2048). Exact:
+        # products are 0/1 in bf16 and the f32 accumulator is exact for
+        # K <= 2048 terms, so >0 is precisely the original any().
+        suppressed = jnp.einsum(
+            "bk,bkj->bj", keep.astype(jnp.bfloat16), mask,
+            preferred_element_type=jnp.float32) > 0
+        new_keep = valid & ~suppressed
+        return new_keep, jnp.any(new_keep != keep), it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.asarray(True), jnp.asarray(0)))
+    return keep
+
+
+_SUPPRESS_TILES = 2
+
+
+def _greedy_keep(cand_boxes, cls_idx, valid, *, iou_thres, tiles=None):
+    """Exact sorted-greedy keep mask, block-decomposed.
+
+    Suppression only flows from higher-ranked to lower-ranked
+    candidates, so the keep solution of the top tile is independent of
+    everything below it; each later tile first applies the (now final)
+    kept sets of all earlier tiles in ONE rectangular mask-dot per
+    pair, then runs its own triangular fixpoint. Bit-identical to the
+    single-block fixpoint (same pairwise IoU arithmetic, same
+    thresholds) while doing roughly half the quadratic IoU work at
+    tiles=2: the fixpoint re-evaluates its (K_t, K_t) block every
+    iteration, and blocks are (K/t)^2 instead of K^2. The earlier
+    8-tile sequential-greedy variant lost to per-tile while overhead
+    (BENCH.md, 34.6 ms); two tiles is the overhead/coverage knee.
+    Falls back to one block when K is small or indivisible."""
+    k = cand_boxes.shape[1]
+    tiles = _SUPPRESS_TILES if tiles is None else tiles
+    if tiles < 2 or k % tiles or (k // tiles) < 256:
+        return _tri_fixpoint(cand_boxes, cls_idx, valid,
+                             iou_thres=iou_thres)
+    t = k // tiles
+    keeps = []
+    for i in range(tiles):
+        sl = slice(i * t, (i + 1) * t)
+        v = valid[:, sl]
+        for j in range(i):
+            slj = slice(j * t, (j + 1) * t)
+            cross = _pair_iou_mask(
+                cand_boxes[:, slj], cls_idx[:, slj],
+                cand_boxes[:, sl], cls_idx[:, sl],
+                iou_thres).astype(jnp.bfloat16)
+            sup = jnp.einsum(
+                "bk,bkj->bj", keeps[j].astype(jnp.bfloat16), cross,
+                preferred_element_type=jnp.float32) > 0
+            v = v & ~sup
+        keeps.append(_tri_fixpoint(cand_boxes[:, sl], cls_idx[:, sl], v,
+                                   iou_thres=iou_thres))
+    return jnp.concatenate(keeps, axis=1)
+
+
 def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
               max_det):
     """Shared suppression tail: class-offset mask + Jacobi fixpoint +
@@ -216,43 +313,7 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
                                 neginf=0.0)
     valid = top_scores > conf_thres
 
-    # Per-axis overlap on raw boxes + class-equality (equivalent to the
-    # class-offset trick, reference util.py:160-161, without inflating
-    # coordinates): scalar (B,K,K) planes only — no (B,K,K,2) vector
-    # intermediates for XLA to spill.
-    x1, y1, x2, y2 = (cand_boxes[..., i] for i in range(4))
-    iw = jnp.clip(jnp.minimum(x2[:, :, None], x2[:, None, :])
-                  - jnp.maximum(x1[:, :, None], x1[:, None, :]), 0)
-    ih = jnp.clip(jnp.minimum(y2[:, :, None], y2[:, None, :])
-                  - jnp.maximum(y1[:, :, None], y1[:, None, :]), 0)
-    inter = iw * ih
-    area = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
-    iou = inter / (area[:, :, None] + area[:, None, :] - inter + 1e-12)
-    same_cls = cls_idx[:, :, None] == cls_idx[:, None, :]
-    tri = jnp.arange(k)
-    mask = ((iou > iou_thres) & same_cls
-            & (tri[:, None] < tri[None, :]) & valid[:, :, None]
-            ).astype(jnp.bfloat16)
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < k)
-
-    def body(state):
-        keep, _, it = state
-        # any(mask & keep) as a 0/1 matmul: the reduction over K rides
-        # the MXU instead of a VPU any-reduce over the (B, K, K) mask
-        # (profiled 2.8 ms/iter -> sub-ms at bs128/K2048). Exact:
-        # products are 0/1 in bf16 and the f32 accumulator is exact for
-        # K <= 2048 terms, so >0 is precisely the original any().
-        suppressed = jnp.einsum(
-            "bk,bkj->bj", keep.astype(jnp.bfloat16), mask,
-            preferred_element_type=jnp.float32) > 0
-        new_keep = valid & ~suppressed
-        return new_keep, jnp.any(new_keep != keep), it + 1
-
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (valid, jnp.asarray(True), jnp.asarray(0)))
+    keep = _greedy_keep(cand_boxes, cls_idx, valid, iou_thres=iou_thres)
 
     # Compaction (kept rows to the front, score order preserved) as a
     # selection-matrix matmul instead of a stable argsort over K: the
