@@ -27,12 +27,15 @@ def build_step(cfg, params, batch):
 
     # /255 is folded into the stem conv weights (exact; bit-identical
     # outputs, +2% measured) — the uint8 batch feeds the graph directly.
-    # ranking="approx" is the serving configuration (Detector default);
-    # eval uses exact top_k (ops/nms.py::_rank_candidates).
+    # ranking="approx" + approx_recall=0.9 is the serving configuration
+    # (Detector defaults); eval uses exact top_k
+    # (ops/nms.py::_rank_candidates). recall_target 0.9 halves the
+    # ranking-sort input vs 0.95 (+5.8% e2e, object-level recall 1.0 on
+    # clustered scenes at every setting — BENCH.md "recall_target sweep").
     @jax.jit
     def step(p, images):
         return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
-                                   ranking="approx")
+                                   ranking="approx", approx_recall=0.9)
 
     return step
 

@@ -96,6 +96,8 @@ def main():
                     choices=["exact", "approx"],
                     help="candidate ranking (default approx = serving; "
                          "exact = the eval/parity configuration)")
+    ap.add_argument("--recall", type=float, default=None,
+                    help="approx_max_k recall_target (default 0.95)")
     ap.add_argument("--latency", action="store_true",
                     help="bs=1 p50 latency of the production serving "
                          "program (serve._predict, conf 0.25) with "
@@ -120,12 +122,14 @@ def main():
 
     if args.latency:
         return run_latency(args, cfg, params)
-    if args.max_nms or args.ranking:
+    if args.max_nms or args.ranking or args.recall:
         import jax.numpy as jnp
 
         kw = {"ranking": args.ranking or "approx"}
         if args.max_nms:
             kw["max_nms"] = args.max_nms
+        if args.recall:
+            kw["approx_recall"] = args.recall
 
         @jax.jit
         def step(p, images):

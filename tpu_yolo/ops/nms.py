@@ -55,7 +55,7 @@ def _split_candidate_index(top_idx, nc: int):
     return anchor_idx, cls_idx.astype(jnp.int32)
 
 
-def _rank_candidates(flat, k: int, ranking: str):
+def _rank_candidates(flat, k: int, ranking: str, recall: float = 0.95):
     """Top-K candidate ranking over the flattened (B, A*nc) score matrix.
 
     Candidate ranking is the NMS cost center (full top_k over ~672k
@@ -64,29 +64,35 @@ def _rank_candidates(flat, k: int, ranking: str):
     ranking="exact"  — jax.lax.top_k: bit-exact candidate set; the
         default, so the eval/parity path (reference utils/util.py:123-169
         semantics) never depends on an approximation.
-    ranking="approx" — TPU's bucketed jax.lax.approx_max_k
-        (recall_target=0.95): the opt-in serving knob (~3.6x NMS-path
-        throughput at bs256, BENCH.md). Misses are confined to
-        near-threshold candidates; measured final-detection agreement vs
-        exact is recorded in BENCH.md ("approx vs exact ranking").
-        Falls back to exact off-TPU (approx_max_k only pays there) and
-        for small candidate sets.
+    ranking="approx" — TPU's bucketed jax.lax.approx_max_k: the opt-in
+        serving knob (~3.6x NMS-path throughput at bs256, BENCH.md).
+        Misses are confined to near-threshold candidates; measured
+        final-detection agreement vs exact is recorded in BENCH.md
+        ("approx vs exact ranking"). Falls back to exact off-TPU
+        (approx_max_k only pays there) and for small candidate sets.
+        `recall` is approx_max_k's recall_target; it sets the bucketed
+        reduction's intermediate size, and the O(m log m) sort of that
+        intermediate is the dominant ranking cost (2.9 ms/batch of the
+        bs128 step at 0.95/K2048, profiler 2026-08-17): 0.95 -> m=42112,
+        0.9 -> 21120, 0.8 -> 10624 for A*nc=672k. Object-level recall
+        on clustered scenes at each setting is recorded in BENCH.md.
     """
     if ranking not in ("exact", "approx"):
         raise ValueError(f"ranking must be 'exact' or 'approx': {ranking!r}")
     n = flat.shape[-1]
     if ranking == "approx" and n > 4 * k and jax.default_backend() == "tpu":
-        return jax.lax.approx_max_k(flat, k, recall_target=0.95)
+        return jax.lax.approx_max_k(flat, k, recall_target=recall)
     return jax.lax.top_k(flat, k)  # (B, K) desc
 
 
-@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking"))
+@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking", "approx_recall"))
 def batched_nms(preds,
                 conf_thres: float = 0.001,
                 iou_thres: float = 0.65,
                 max_det: int = 300,
                 max_nms: int = 2048,
-                ranking: str = "exact"):
+                ranking: str = "exact",
+                approx_recall: float = 0.95):
     """NMS over decoded predictions.
 
     Args:
@@ -112,7 +118,7 @@ def batched_nms(preds,
     scores_all = preds[..., 4:]
 
     flat = scores_all.reshape(b, a * nc)
-    top_scores, top_idx = _rank_candidates(flat, k, ranking)
+    top_scores, top_idx = _rank_candidates(flat, k, ranking, approx_recall)
     anchor_idx, cls_idx = _split_candidate_index(top_idx, nc)
 
     cand_boxes = jnp.take_along_axis(boxes_xywh, anchor_idx[..., None], axis=1)
@@ -130,7 +136,8 @@ def nms_from_raw(raw_maps, cfg, input_hw,
                  iou_thres: float = 0.65,
                  max_det: int = 300,
                  max_nms: int = 2048,
-                 ranking: str = "exact"):
+                 ranking: str = "exact",
+                 approx_recall: float = 0.95):
     """Fused decode+NMS from raw per-level head maps — the production
     inference tail (models.forward_nms). Output semantics are identical
     to batched_nms(decode_predictions(raw)); the structure is shaped by
@@ -168,15 +175,21 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     reg4 = 4 * cfg.reg_max
     dist = jnp.concatenate([m[..., :reg4].reshape(b, -1, reg4)
                             for m in raw_maps], axis=1)   # (B, A, 64)
-    logits = jnp.concatenate([m[..., reg4:].reshape(b, -1, nc)
-                              for m in raw_maps], axis=1)  # (B, A, nc)
     a = dist.shape[1]
 
     k = min(max_nms, a * nc, 8192)
-    flat = logits.reshape(b, a * nc)
+    # Flatten each level's class block to 2D FIRST and concat on the
+    # minor axis — element order is identical to
+    # concat(level maps, axis=1).reshape(b, a*nc) (anchor-major,
+    # class-minor, levels in order), but the 3D (B, A, nc) concat +
+    # reshape lowered to a separate {0,1}->{1,0} transpose copy of the
+    # 172 MB score matrix (profiled 0.5 ms/batch at bs128, copy.185);
+    # the 2D concat writes the ranking operand in its final layout.
+    flat = jnp.concatenate([m[..., reg4:].reshape(b, -1)
+                            for m in raw_maps], axis=1)    # (B, A*nc)
     if ranking == "exact":
         flat = flat.astype(jnp.float32)
-    top_logits, top_idx = _rank_candidates(flat, k, ranking)
+    top_logits, top_idx = _rank_candidates(flat, k, ranking, approx_recall)
     top_scores = jax.nn.sigmoid(top_logits.astype(jnp.float32))
     anchor_idx, cls_idx = _split_candidate_index(top_idx, nc)
 

@@ -44,7 +44,8 @@ class Detector:
                  decode_threads: int = 8, dp=None,
                  ranking: str = "approx",
                  device_letterbox: bool = False, stage_size: int = 960,
-                 max_nms: int = 2048):
+                 max_nms: int = 2048,
+                 approx_recall: float = 0.9):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
         every local chip (batch_size must divide the data-axis size).
@@ -53,6 +54,13 @@ class Detector:
         (TPU approx_max_k, the measured-throughput path); pass "exact"
         for bit-exact reference-parity ranking — the eval harness's
         default (ops/nms.py::_rank_candidates).
+
+        `approx_recall`: approx_max_k's recall_target — sizes the
+        bucketed reduction whose sort is the dominant ranking cost.
+        Serving default 0.9 (halves the sort input vs 0.95: +5.8%
+        e2e at bs128/K2048, +3.4% at K=1024; object-level recall on
+        clustered scenes 1.0 at every setting — BENCH.md "recall_target
+        sweep"). Eval/parity ("exact" ranking) never consults it.
 
         `device_letterbox`: host only decodes (raw uint8, top-left in a
         (stage_size, stage_size) staging buffer); the aspect-preserving
@@ -78,12 +86,12 @@ class Detector:
         self._step = functools.partial(
             _predict, cfg=cfg, compute_dtype=compute_dtype,
             conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
-            ranking=ranking, max_nms=max_nms)
+            ranking=ranking, max_nms=max_nms, approx_recall=approx_recall)
         self._step_staged = functools.partial(
             _predict_staged, cfg=cfg, out_size=input_size,
             compute_dtype=compute_dtype, conf_thres=conf_thres,
             iou_thres=iou_thres, max_det=max_det, ranking=ranking,
-            max_nms=max_nms)
+            max_nms=max_nms, approx_recall=approx_recall)
         self._pipe = None
         self._decode_threads = decode_threads
 
@@ -297,22 +305,24 @@ class Detector:
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
                                              "conf_thres", "iou_thres",
                                              "max_det", "ranking",
-                                             "max_nms"))
+                                             "max_nms", "approx_recall"))
 def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
-             max_det, ranking="approx", max_nms=2048):
+             max_det, ranking="approx", max_nms=2048, approx_recall=0.9):
     x = images.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
-                               ranking=ranking, max_nms=max_nms)
+                               ranking=ranking, max_nms=max_nms,
+                               approx_recall=approx_recall)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "out_size",
                                              "compute_dtype", "conf_thres",
                                              "iou_thres", "max_det",
-                                             "ranking", "max_nms"))
+                                             "ranking", "max_nms",
+                                             "approx_recall"))
 def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
                     conf_thres, iou_thres, max_det, ranking="approx",
-                    max_nms=2048):
+                    max_nms=2048, approx_recall=0.9):
     """Device-letterbox serving program: raw staged uint8 -> letterbox
     (ops/letterbox.py, single-resize serving geometry) -> normalize ->
     forward -> NMS, one jitted graph."""
@@ -323,4 +333,5 @@ def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
     x = boxed.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
-                               ranking=ranking, max_nms=max_nms)
+                               ranking=ranking, max_nms=max_nms,
+                               approx_recall=approx_recall)
