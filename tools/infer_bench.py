@@ -130,17 +130,21 @@ def main():
             kw["max_nms"] = args.max_nms
         if args.recall:
             kw["approx_recall"] = args.recall
+        from tpu_yolo.serve import image_input_format
+        fmt = image_input_format()
 
-        @jax.jit
-        def step(p, images):
+        def _f(p, images):
             return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
                                        **kw)
+        step = jax.jit(_f) if fmt is None else jax.jit(
+            _f, in_shardings=(None, fmt))
     else:
-        step = build_step(cfg, params, args.batch)
+        step, fmt = build_step(cfg, params, args.batch)
 
+    from bench import stage_images
     rng = np.random.default_rng(0)
-    pool = [jax.device_put(rng.integers(
-        0, 256, (args.batch, args.size, args.size, 3), np.uint8))
+    pool = [stage_images(rng.integers(
+        0, 256, (args.batch, args.size, args.size, 3), np.uint8), fmt)
         for _ in range(args.pool)]
 
     for i in range(args.warmup):

@@ -30,6 +30,29 @@ from tpu_yolo.core.config import ModelConfig, get_model_config
 from tpu_yolo.models import yolov11
 
 
+def image_input_format():
+    """Entry Format for the serving program's uint8 NHWC image input on
+    a single TPU chip, or None when not applicable (CPU, multi-device).
+
+    The stem-conv emitter wants the batch-minor tiled layout
+    u8{0,3,2,1:T(4,128)(4,1)}; an unconstrained jit entry receives the
+    default {2,1,3,0} and relayouts IN-PROGRAM (copy.168, 0.78 ms/batch
+    at bs128/640 — profiler 2026-08-17). Constraining the entry removes
+    that device copy (+4.5% e2e) and host->device transfers write the
+    tiled layout directly. Callers must device_put staged batches with
+    this same Format (a differently-committed array would error)."""
+    if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+        return None
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+        return Format(
+            Layout(major_to_minor=(1, 2, 3, 0), tiling=((4, 128), (4, 1))),
+            SingleDeviceSharding(jax.devices()[0]))
+    except Exception:
+        return None
+
+
 class Detector:
     """Batched streaming detector.
 
@@ -87,6 +110,15 @@ class Detector:
             _predict, cfg=cfg, compute_dtype=compute_dtype,
             conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
             ranking=ranking, max_nms=max_nms, approx_recall=approx_recall)
+        # Single-chip fast path: pin the image entry layout to the
+        # stem conv's preferred tiling so the in-program relayout copy
+        # disappears (image_input_format docstring; bench.py mirrors
+        # this). The dp/letterbox paths keep unconstrained entries.
+        self._img_fmt = None if dp is not None else image_input_format()
+        if self._img_fmt is not None:
+            base = self._step
+            self._step = jax.jit(lambda p, x: base(p, x),
+                                 in_shardings=(None, self._img_fmt))
         self._step_staged = functools.partial(
             _predict_staged, cfg=cfg, out_size=input_size,
             compute_dtype=compute_dtype, conf_thres=conf_thres,
@@ -240,8 +272,12 @@ class Detector:
     # -- inference --------------------------------------------------------
     def detect_batch(self, images_u8: np.ndarray):
         """(B, S, S, 3) uint8 RGB -> device result dict (letterbox coords)."""
-        x = (self._dp.shard_batch(jnp.asarray(images_u8))
-             if self._dp is not None else jnp.asarray(images_u8))
+        if self._dp is not None:
+            x = self._dp.shard_batch(jnp.asarray(images_u8))
+        elif self._img_fmt is not None:
+            x = jax.device_put(np.asarray(images_u8), self._img_fmt)
+        else:
+            x = jnp.asarray(images_u8)
         return self._step(self.params, x)
 
     def stream(self, paths: Iterable[str], batch_size: int = 64,
