@@ -276,7 +276,17 @@ def _greedy_keep(cand_boxes, cls_idx, valid, *, iou_thres, tiles=None):
     iteration, and blocks are (K/t)^2 instead of K^2. The earlier
     8-tile sequential-greedy variant lost to per-tile while overhead
     (BENCH.md, 34.6 ms); two tiles is the overhead/coverage knee.
-    Falls back to one block when K is small or indivisible."""
+    Falls back to one block when K is small or indivisible.
+
+    The cross-tile pass compiles to a fused IoU+select+reduce kLoop
+    (select_reduce_fusion, 0.97 ms/batch at bs128/K2048). Measured and
+    REJECTED against it (infer_bench A/B, 2026-08-17, control 5,508
+    img/s): an optimization_barrier before the einsum to force a clean
+    MXU dot (5,389 — materializing the 256 MB cross block costs more
+    than the MXU saves), and folding keep_j into the killer boxes
+    (non-kept -> degenerate (0,0,0,0), IoU exactly 0) with a plain
+    jnp.any reduce instead of the dot (5,275 — the (B,t,t) any-reduce
+    over the sublane axis is slower than the dot-shaped fusion)."""
     k = cand_boxes.shape[1]
     tiles = _SUPPRESS_TILES if tiles is None else tiles
     if tiles < 2 or k % tiles or (k // tiles) < 256:
