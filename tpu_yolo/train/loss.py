@@ -239,13 +239,19 @@ def detection_loss(raw_maps, gt, hyp: dict, cfg: ModelConfig):
     input_hw = (raw_maps[0].shape[1] * cfg.strides[0],
                 raw_maps[0].shape[2] * cfg.strides[0])
 
-    # keep the head maps in compute dtype and let each consumer fuse
-    # its own f32 convert: one shared .astype(f32) here materialized
-    # the full (B, A, 144) f32 copy in HBM (619 MB at bs128, profiled
-    # 2026-08-17). Same values — bf16->f32 is exact.
+    # Split in compute dtype (one shared .astype(f32) on `flat`
+    # materialized the (B, A, 144) f32 copy in HBM, 619 MB at bs128),
+    # then ONE f32 cast per half. The cast must be shared, not fused
+    # into each consumer: pred_dist fans out to dfl_expectation AND
+    # _dfl_loss, and with per-consumer casts their backward cotangents
+    # are each rounded to bf16 and summed in bf16 at the fan-out —
+    # measured to destabilize training (toy SPMD run diverges 16 → 74
+    # in 5 steps; BENCH.md round-3 note). A shared cast keeps that
+    # cotangent sum in f32 (1,005 vs 1,018 img/s, the stability price).
     flat = jnp.concatenate([m.reshape(bsz, -1, cfg.no) for m in raw_maps], axis=1)
     pred_dist, pred_cls = jnp.split(flat, (4 * reg,), axis=-1)
     pred_cls = pred_cls.astype(jnp.float32)
+    pred_dist = pred_dist.astype(jnp.float32)
 
     anchors, stride_t = make_anchors(input_hw, cfg.strides)
     anchors = jnp.asarray(anchors)                            # (A, 2) grid units
