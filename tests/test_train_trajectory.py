@@ -1,0 +1,124 @@
+"""Multi-step training-trajectory parity vs the reference.
+
+Replays tests/golden/train_traj.npz — 4 full reference training steps
+(torch forward in train mode -> ComputeLoss -> backward -> nesterov SGD
+with set_params groups -> EMA) captured by tools/make_goldens.py — and
+asserts our jitted training stack reproduces, in order of strictness:
+
+  1. the step-0 losses and the step-0 parameter GRADIENTS (the exact
+     backward check, free of trajectory chaos);
+  2. the post-step-0 parameter state (one SGD+EMA update: nesterov
+     momentum-buffer init, decay-mask groups, BN running-stat update);
+  3. the 4-step loss trajectory and final model/EMA states (compounded
+     optimizer dynamics; tolerances reflect f32 drift through the TAL
+     assigner's discrete selections, measured 2026-08-17).
+
+This pins, jointly: gradients through the whole architecture, BN
+running-stat updates (momentum 0.03, unbiased var), optimizer
+decay-mask groups, nesterov momentum, the loss*batch backward scaling,
+and the EMA decay ramp — the entire training stack beyond any
+single-op golden (reference main.py:95-170, util.py:519-534,
+util.py:599-627).
+"""
+import numpy as np
+import pytest
+
+from conftest import load_golden
+
+
+def _subtree(g, prefix):
+    return {k[len(prefix):]: g[k] for k in g.files if k.startswith(prefix)}
+
+
+def _leaf_diffs(ref_tree, our_tree):
+    """[(max_abs_diff, ref_leaf_max_abs, keystr)] over aligned leaves."""
+    import jax
+
+    out = []
+    for (kp, r), (kp2, o) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_tree),
+            jax.tree_util.tree_leaves_with_path(our_tree)):
+        assert jax.tree_util.keystr(kp) == jax.tree_util.keystr(kp2)
+        r = np.array(r, np.float64)
+        o = np.array(o, np.float64)
+        out.append((float(np.abs(o - r).max()), float(np.abs(r).max()),
+                    jax.tree_util.keystr(kp)))
+    return out
+
+
+@pytest.mark.slow
+def test_train_trajectory_matches_reference():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.core.config import get_model_config
+    from tpu_yolo.io.weights import convert_state_dict
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.train.loss import build_padded_targets
+    from tpu_yolo.train.step import (init_train_state, loss_and_grads,
+                                     train_step)
+
+    g = load_golden("train_traj.npz")
+    cfg = get_model_config("n")
+    template = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+    p0 = convert_state_dict(_subtree(g, "sd0."), template,
+                            source_format="reference")
+    gains = np.asarray([7.5, 0.5, 1.5], np.float32)
+
+    def batch(s):
+        img = np.transpose(g[f"img_{s}"], (0, 2, 3, 1))  # NCHW -> NHWC
+        gt = build_padded_targets(
+            {"idx": g[f"idx_{s}"], "cls": g[f"cls_{s}"],
+             "box": g[f"box_{s}"]},
+            batch_size=2, max_gt=32, input_hw=img.shape[1:3])
+        return jnp.asarray(img), jnp.asarray(gt)
+
+    # --- 1. step-0 backward: losses + every parameter gradient --------
+    img0, gt0 = batch(0)
+    (lb, lc, ld), grads = loss_and_grads(p0, img0, gt0, gains, cfg=cfg)
+    np.testing.assert_allclose(
+        [float(lb), float(lc), float(ld)], g["losses"][0], rtol=1e-4)
+
+    gref = convert_state_dict(_subtree(g, "gr."), template,
+                              source_format="reference")
+    scaled = [(d / max(scale, 1e-6), key)
+              for d, scale, key in _leaf_diffs(gref, grads)]
+    worst = max(s for s, _ in scaled)
+    # measured: <=2.2e-4 on all leaves except three cancellation-prone
+    # PSA-attention beta grads (sums of signed upstream grads) at ~1e-2
+    assert worst < 2.5e-2, max(scaled)
+    assert float(np.median([s for s, _ in scaled])) < 1e-3
+
+    # --- 2.-3. the 4-step trajectory ----------------------------------
+    state = init_train_state(p0, ema=True, accumulate=1)
+    losses = []
+    for s in range(4):
+        img, gt = batch(s)
+        state, m = train_step(
+            state, img, gt, 0.002, gains, 5e-4, 0.937, cfg=cfg,
+            accumulate=1, apply_update=True, compute_dtype=jnp.float32)
+        losses.append([float(m["loss_box"]), float(m["loss_cls"]),
+                       float(m["loss_dfl"])])
+        if s == 0:
+            # one full update: nesterov buffer init + decay groups +
+            # BN running stats (measured <=1.2e-6)
+            sd1 = convert_state_dict(_subtree(g, "sd1."), template,
+                                     source_format="reference")
+            diffs = _leaf_diffs(sd1, state["params"])
+            assert max(d for d, _, _ in diffs) < 1e-4, \
+                max(diffs, key=lambda t: t[0])
+
+    # per-step losses track the reference (measured <=4e-4 rel)
+    np.testing.assert_allclose(np.asarray(losses), g["losses"],
+                               rtol=5e-3, atol=1e-4)
+
+    # final model + EMA states after 4 compounded updates
+    # (measured <=1.9e-3 abs; f32 drift amplified by discrete assigner
+    # selections, not a systematic divergence — step-1 is 1e-6-exact)
+    for prefix, ours in (("sdf.", state["params"]),
+                         ("sde.", state["ema_params"])):
+        ref_tree = convert_state_dict(_subtree(g, prefix), template,
+                                      source_format="reference")
+        diffs = _leaf_diffs(ref_tree, ours)
+        assert max(d for d, _, _ in diffs) < 1e-2, \
+            (prefix, max(diffs, key=lambda t: t[0]))

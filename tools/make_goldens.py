@@ -181,6 +181,85 @@ def golden_loss(model, x):
          loss_dfl=ld.detach().numpy())
 
 
+def golden_train_trajectory():
+    """4 full reference training steps — forward (train-mode BN) →
+    ComputeLoss → backward → SGD(nesterov, set_params groups) → EMA —
+    at a fixed lr, recording per-step losses and the final model + EMA
+    state dicts. Pins gradients through the whole architecture, BN
+    running-stat updates, optimizer param-group behavior and the EMA
+    ramp JOINTLY against the reference training loop
+    (main.py:95-170, util.py:519-534, util.py:599-627).
+    Also records the step-0 gradients (exact backward parity, free of
+    trajectory chaos) and the post-step-0 state dict (one-update
+    optimizer parity). lr is kept small: at training-scale rates the
+    TAL assigner's discrete selections amplify f32 noise chaotically
+    within a few steps on random init, which would pin nothing.
+    Fixed config: bs=2 @128px, lr=0.002, momentum=0.937, wd=5e-4,
+    nesterov, accumulate=1 (step+EMA every iteration)."""
+    from nets import nn
+    from utils import util
+
+    torch.manual_seed(0)
+    model = nn.yolo_v11_n(80)
+    model.train()
+    criterion = util.ComputeLoss(model, {"box": 7.5, "cls": 0.5, "dfl": 1.5})
+    bs, size, steps = 2, 128, 4
+    lr, momentum, wd = 0.002, 0.937, 5e-4
+    optimizer = torch.optim.SGD(util.set_params(model, wd), lr, momentum,
+                                nesterov=True)
+    ema = util.EMA(model)
+
+    init_sd = {k: v.detach().clone().numpy()
+               for k, v in model.state_dict().items()}
+
+    rng = np.random.default_rng(7)
+    arrays, losses = {}, []
+    for s in range(steps):
+        img = rng.integers(0, 256, (bs, 3, size, size)).astype(np.uint8)
+        n0, n1 = 5, 3
+        idx = np.concatenate([np.zeros(n0), np.ones(n1)]).astype(np.float32)
+        cls = rng.integers(0, 80, n0 + n1).astype(np.float32)
+        box = (rng.random((n0 + n1, 4)) * 0.4 + 0.05).astype(np.float32)
+        arrays[f"img_{s}"] = img
+        arrays[f"idx_{s}"] = idx
+        arrays[f"cls_{s}"] = cls
+        arrays[f"box_{s}"] = box
+
+        samples = torch.from_numpy(img).float() / 255
+        targets = {"idx": torch.from_numpy(idx),
+                   "cls": torch.from_numpy(cls),
+                   "box": torch.from_numpy(box)}
+        optimizer.zero_grad()
+        outputs = model(samples)
+        lb, lc, ld = criterion(outputs, targets)
+        losses.append([lb.item(), lc.item(), ld.item()])
+        # reference backward scaling: loss *= batch_size (main.py:142-144)
+        ((lb + lc + ld) * bs).backward()
+        if s == 0:
+            # step-0 gradients, keyed like the full state dict (buffers
+            # get zeros so the converter's coverage contract holds)
+            grads = {k: np.zeros_like(v.detach().numpy())
+                     for k, v in model.state_dict().items()}
+            for k, p in model.named_parameters():
+                if p.grad is not None:
+                    grads[k] = p.grad.detach().numpy().copy()
+            arrays.update({"gr." + k: v for k, v in grads.items()})
+        optimizer.step()
+        ema.update(model)
+        if s == 0:
+            arrays.update({"sd1." + k: v.detach().clone().numpy()
+                           for k, v in model.state_dict().items()})
+
+    save("train_traj.npz",
+         losses=np.asarray(losses, np.float64),
+         **arrays,
+         **{"sd0." + k: v for k, v in init_sd.items()},
+         **{"sdf." + k: v.detach().numpy()
+            for k, v in model.state_dict().items()},
+         **{"sde." + k: v.detach().numpy()
+            for k, v in ema.ema.state_dict().items()})
+
+
 def golden_ciou():
     from utils import util
 
@@ -251,6 +330,7 @@ def main():
     golden_ciou()
     golden_metrics()
     golden_letterbox()
+    golden_train_trajectory()
     print("done")
 
 

@@ -62,6 +62,27 @@ def init_train_state(params, ema: bool = True, accumulate: int = 1):
     return state
 
 
+def loss_and_grads(params, images, gt, hyp_gains, *, cfg: ModelConfig,
+                   compute_dtype=jnp.float32):
+    """Losses and parameter gradients of one training forward/backward —
+    exactly train_step's loss_fn (loss scaled by the global batch,
+    reference main.py:142-144) without the optimizer/EMA tail. Debug /
+    parity surface: tests/test_train_trajectory.py checks these grads
+    against the reference's torch autograd."""
+    x = images.astype(compute_dtype) / compute_dtype(255)
+    global_bs = images.shape[0]
+
+    def loss_fn(p):
+        ctx = Context(train=True)
+        raw = yolov11.forward_raw(p, x, cfg, ctx)
+        hyp = {"box": hyp_gains[0], "cls": hyp_gains[1], "dfl": hyp_gains[2]}
+        lb, lc, ld = detection_loss(raw, gt, hyp, cfg)
+        return (lb + lc + ld) * global_bs, (lb, lc, ld)
+
+    grads, losses = jax.grad(loss_fn, has_aux=True)(params)
+    return losses, grads
+
+
 def _copy_tree(tree):
     """Fresh containers so in-place dict writes don't leak to the caller."""
     if isinstance(tree, dict):
