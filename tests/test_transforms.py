@@ -28,6 +28,13 @@ def test_stem_space_to_depth_equivalent():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
 
+    # pre-rearranged host input (space_to_depth_host staging): the
+    # backbone must accept the (B, H/2, W/2, 12) layout directly and
+    # produce BITWISE the same program inputs as the on-device rearrange
+    xs2d = jnp.asarray(yolov11.space_to_depth_host(np.asarray(x)))
+    c = yolov11.forward(p2, xs2d, TINY, train=False)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+
 
 def test_orbax_checkpoint_roundtrip(tmp_path):
     from tpu_yolo.io.checkpoint import (load_checkpoint_orbax,

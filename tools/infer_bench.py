@@ -41,6 +41,8 @@ def run_latency(args, cfg, params):
     # params, not the input-scale-folded ones of the throughput step
     from tpu_yolo.models import yolov11 as y
     p = y.fold_batchnorm(y.init_params(jax.random.PRNGKey(0), cfg))
+    if args.s2d:
+        p = y.fold_stem_space_to_depth(p)
     step = functools.partial(serve._predict, cfg=cfg,
                              compute_dtype=jnp.bfloat16,
                              conf_thres=0.25, iou_thres=0.65, max_det=300,
@@ -89,6 +91,10 @@ def main():
     ap.add_argument("--profile", default=None)
     ap.add_argument("--s2d", action="store_true",
                     help="apply fold_stem_space_to_depth")
+    ap.add_argument("--s2d-host", action="store_true",
+                    help="fold_stem_space_to_depth AND stage batches "
+                         "pre-rearranged on host (space_to_depth_host): "
+                         "no on-device transpose pass")
     ap.add_argument("--max-nms", type=int, default=None,
                     help="candidate budget K (default: forward_nms's "
                          "2048 parity budget; 1024 = serving config)")
@@ -116,22 +122,26 @@ def main():
     cfg = get_model_config(args.model)
     params = yolov11.fold_batchnorm(
         yolov11.init_params(jax.random.PRNGKey(0), cfg))
-    if args.s2d:
+    if args.s2d or args.s2d_host:
         params = yolov11.fold_stem_space_to_depth(params)
     params = yolov11.fold_input_scale(params)
 
     if args.latency:
         return run_latency(args, cfg, params)
-    if args.max_nms or args.ranking or args.recall:
+
+    if args.max_nms or args.ranking or args.recall or args.s2d_host:
         import jax.numpy as jnp
 
-        kw = {"ranking": args.ranking or "approx"}
+        # bench.py's serving defaults unless overridden
+        kw = {"ranking": args.ranking or "approx",
+              "approx_recall": args.recall or 0.9}
         if args.max_nms:
             kw["max_nms"] = args.max_nms
-        if args.recall:
-            kw["approx_recall"] = args.recall
         from tpu_yolo.serve import image_input_format
-        fmt = image_input_format()
+
+        # the entry-layout pin is stem-shape-specific: stage the
+        # (B, H/2, W/2, 12) s2d-host entry unpinned
+        fmt = None if args.s2d_host else image_input_format()
 
         def _f(p, images):
             return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
@@ -143,9 +153,17 @@ def main():
 
     from bench import stage_images
     rng = np.random.default_rng(0)
-    pool = [stage_images(rng.integers(
-        0, 256, (args.batch, args.size, args.size, 3), np.uint8), fmt)
-        for _ in range(args.pool)]
+
+    def _make(seed_rng):
+        img = seed_rng.integers(
+            0, 256, (args.batch, args.size, args.size, 3), np.uint8)
+        if args.s2d_host:
+            # staged batches arrive pre-rearranged on host: same bytes,
+            # no on-device transpose pass before the s2d stem conv
+            return jax.device_put(yolov11.space_to_depth_host(img))
+        return stage_images(img, fmt)
+
+    pool = [_make(rng) for _ in range(args.pool)]
 
     for i in range(args.warmup):
         jax.block_until_ready(step(params, pool[i % args.pool]))

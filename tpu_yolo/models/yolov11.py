@@ -207,9 +207,12 @@ def _backbone(p, x, ctx, cfg: ModelConfig):
         # space-to-depth stem (fold_stem_space_to_depth): mathematically
         # identical to the 3x3/s2 conv, but the conv runs stride-1 on a
         # (H/2, W/2, 4C) layout that tiles far better on the MXU at the
-        # network's 3-channel input.
-        x = c(p["p1"][0], _space_to_depth2(x), "net/p1/0",
-              padding=((1, 0), (1, 0)))
+        # network's 3-channel input. If the input already arrives in s2d
+        # layout (host/native-loader staging ships the same bytes
+        # permuted — no on-device transpose pass), use it directly.
+        if x.shape[-1] != 4 * cfg.width[0]:
+            x = _space_to_depth2(x)
+        x = c(p["p1"][0], x, "net/p1/0", padding=((1, 0), (1, 0)))
     else:
         x = c(p["p1"][0], x, "net/p1/0", stride=2, padding=1)
 
@@ -285,12 +288,21 @@ def decode_predictions(raw_maps, cfg: ModelConfig, input_hw):
     return jnp.concatenate((box, jax.nn.sigmoid(cls.astype(jnp.float32))), axis=-1)
 
 
+def _input_hw(x, cfg: ModelConfig):
+    """Image-space (H, W) of a model input: a pre-rearranged s2d batch
+    (space_to_depth_host staging, 4*C_in channels) covers 2x its array
+    dims per axis."""
+    if x.shape[-1] == 4 * cfg.width[0]:
+        return 2 * x.shape[1], 2 * x.shape[2]
+    return x.shape[1], x.shape[2]
+
+
 def forward(params, x, cfg: ModelConfig, train: bool = False, ctx: Context | None = None):
     """Train -> raw per-level maps; eval -> decoded (B, A, 4+nc)."""
     if train:
         return forward_raw(params, x, cfg, ctx or Context(train=True))
     raw = forward_raw(params, x, cfg)
-    return decode_predictions(raw, cfg, (x.shape[1], x.shape[2]))
+    return decode_predictions(raw, cfg, _input_hw(x, cfg))
 
 
 def forward_nms(params, x, cfg: ModelConfig, **nms_kwargs):
@@ -306,7 +318,7 @@ def forward_nms(params, x, cfg: ModelConfig, **nms_kwargs):
     from tpu_yolo.ops.nms import nms_from_raw
 
     raw = forward_raw(params, x, cfg)
-    return nms_from_raw(raw, cfg, (x.shape[1], x.shape[2]), **nms_kwargs)
+    return nms_from_raw(raw, cfg, _input_hw(x, cfg), **nms_kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +365,18 @@ def fold_stem_space_to_depth(params):
     out = _copy_params(params)
     out["net"]["p1"][0]["w"] = jnp.asarray(w2)
     return out
+
+
+def space_to_depth_host(x):
+    """Host-side (numpy) mirror of _space_to_depth2: (B, H, W, C) uint8
+    -> (B, H/2, W/2, 4C), channel layout (di, dj, c). Lets the staging
+    side (native loader / serve) ship batches already in the s2d-stem
+    layout — same bytes, permuted on host — so the fold_stem_space_to_
+    depth forward needs no on-device transpose pass."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return np.ascontiguousarray(
+        x.transpose(0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * c)
 
 
 def _copy_params(tree):
