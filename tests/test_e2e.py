@@ -178,6 +178,9 @@ def test_cli_train_then_test(mini_coco, tmp_path):
         "--batch-size", "4", "--val-batch-size", "4", "--epochs", "1",
         "--data-dir", str(mini_coco), "--save-dir", str(save_dir),
         "--hyp", hyp, "--workers", "2",
+        # fixed GT pad bucket (--gt-bucket): the no-allgather padding
+        # path; 32 >= any mini-coco mosaic GT count, so identical math
+        "--gt-bucket", "32",
     ]
     r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
                        env=env, capture_output=True, text=True, timeout=3000)

@@ -28,7 +28,8 @@ def _free_port():
     return port
 
 
-def _run_workers(num_processes: int, port: int, timeout: int = 600):
+def _run_workers(num_processes: int, port: int, timeout: int = 600,
+                 extra=(), _retry: bool = True):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
@@ -36,11 +37,11 @@ def _run_workers(num_processes: int, port: int, timeout: int = 600):
             [sys.executable, WORKER,
              "--coordinator", f"localhost:{port}",
              "--num-processes", str(num_processes),
-             "--process-id", str(i)],
+             "--process-id", str(i), *extra],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, env=env, cwd=REPO)
         for i in range(num_processes)]
-    outs = []
+    outs, failed = [], None
     for p in procs:
         try:
             out, err = p.communicate(timeout=timeout)
@@ -48,8 +49,20 @@ def _run_workers(num_processes: int, port: int, timeout: int = 600):
             for q in procs:
                 q.kill()
             raise
-        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        if p.returncode != 0 and failed is None:
+            failed = err
+        outs.append(None if p.returncode else
+                    json.loads(out.strip().splitlines()[-1]))
+    if failed is not None:
+        # Known cold-compile flake on this 1-core host: with an
+        # invalidated XLA cache both workers recompile the train step
+        # concurrently and their skew can exceed Gloo's 30 s connect
+        # window (GetKeyValue DEADLINE_EXCEEDED). The first attempt
+        # populates the shared compile cache, so one retry runs warm.
+        if _retry and "DEADLINE_EXCEEDED" in failed:
+            return _run_workers(num_processes, _free_port(),
+                                timeout=timeout, extra=extra, _retry=False)
+        raise AssertionError(f"worker failed:\n{failed[-4000:]}")
     return outs
 
 
@@ -68,3 +81,12 @@ def test_two_process_rehearsal_matches_single_process():
                                rtol=2e-4, atol=2e-4)
     assert multi[0]["eval_counts"] == multi[1]["eval_counts"]
     assert multi[0]["eval_counts"] == ref["eval_counts"]
+
+    # fixed-bucket mode (--gt-bucket, the sync-free multi-host padding
+    # path: no per-step allgather): same trajectory as the adaptive
+    # oracle — bucket 32 equals the adaptive choice for these GT counts,
+    # and padded rows are masked out of the loss either way
+    fixed = _run_workers(2, _free_port(), extra=("--gt-bucket", "32"))
+    np.testing.assert_allclose(np.asarray(fixed[0]["losses"]),
+                               np.asarray(ref["losses"]),
+                               rtol=2e-4, atol=2e-4)

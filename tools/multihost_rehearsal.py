@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--global-batch", type=int, default=8)
+    ap.add_argument("--gt-bucket", type=int, default=0,
+                    help="fixed GT pad bucket (trainer --gt-bucket): "
+                         "skip the per-step allgather agreement")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -95,6 +98,7 @@ def main():
     n_devices = args.num_processes * _LOCAL_DEVICES
     assert len(jax.devices()) == n_devices
 
+    import jax.numpy as jnp
     import numpy as np
 
     from tpu_yolo.core.config import ModelConfig
@@ -115,6 +119,34 @@ def main():
     hyp_gains = np.asarray([7.5, 0.5, 1.5], np.float32)
     from tpu_yolo.train.trainer import _gt_bucket
 
+    def barrier(name: str, timeout_ms: int = 1_800_000):
+        """Coordination-service barrier (gRPC to the coordinator — NOT a
+        Gloo collective, so it tolerates arbitrary rank skew). Placed
+        between each XLA compile and its first execution: on this 1-core
+        host two concurrent cold compiles of the train step can end
+        minutes apart, and the rank that finishes first would time out
+        Gloo's 30 s context-init window waiting for its peer inside the
+        first collective. AOT-compile + barrier makes the first
+        execution start near-simultaneously on every rank."""
+        if args.num_processes > 1:
+            from jax._src import distributed
+            distributed.global_state.client.wait_at_barrier(
+                name, timeout_in_ms=timeout_ms)
+
+    compiled_steps = {}
+
+    def run_step(state, images, gt):
+        """train_step via a rank-synchronized AOT executable."""
+        key = (images.shape, gt.shape)
+        if key not in compiled_steps:
+            compiled_steps[key] = train_step.lower(
+                state, images, gt, 0.01, hyp_gains, 5e-4, 0.937,
+                cfg=cfg, accumulate=1, apply_update=True,
+                compute_dtype=jnp.float32).compile()
+            barrier(f"train_step-compiled-{len(compiled_steps)}")
+        return compiled_steps[key](
+            state, images, gt, 0.01, hyp_gains, 5e-4, 0.937)
+
     losses = []
     for step in range(args.steps):
         images_g, targets_g = make_global_batch(
@@ -122,14 +154,18 @@ def main():
         images, targets = slice_host(images_g, targets_g,
                                      args.process_id, host_bs)
 
-        # the trainer's bucket-agreement flow (train/trainer.py)
-        max_n = int(np.max(np.bincount(
-            np.asarray(targets["idx"], np.int64), minlength=host_bs)))
-        bucket = _gt_bucket(max(max_n, 1))
-        if args.num_processes > 1:
-            from jax.experimental import multihost_utils
-            bucket = int(np.max(multihost_utils.process_allgather(
-                np.int32(bucket))))
+        # the trainer's bucket flow (train/trainer.py): fixed bucket
+        # (--gt-bucket, sync-free) or adaptive + allgather agreement
+        if args.gt_bucket:
+            bucket = args.gt_bucket
+        else:
+            max_n = int(np.max(np.bincount(
+                np.asarray(targets["idx"], np.int64), minlength=host_bs)))
+            bucket = _gt_bucket(max(max_n, 1))
+            if args.num_processes > 1:
+                from jax.experimental import multihost_utils
+                bucket = int(np.max(multihost_utils.process_allgather(
+                    np.int32(bucket))))
         gt = build_padded_targets(targets, host_bs, bucket,
                                   (args.size, args.size))
 
@@ -139,11 +175,8 @@ def main():
         # device partitioning would amplify over steps and only blur
         # that signal (measured ~15% rel drift on near-zero box loss
         # by step 3 in bf16; f32 matches to ~1e-6)
-        import jax.numpy as jnp
-        state, metrics = train_step(
-            state, dp.shard_batch(images), dp.shard_batch(gt),
-            0.01, hyp_gains, 5e-4, 0.937, cfg=cfg, accumulate=1,
-            apply_update=True, compute_dtype=jnp.float32)
+        state, metrics = run_step(state, dp.shard_batch(images),
+                                  dp.shard_batch(gt))
         losses.append([float(metrics["loss_box"]),
                        float(metrics["loss_cls"]),
                        float(metrics["loss_dfl"])])
@@ -160,8 +193,11 @@ def main():
     folded = yolov11.fold_batchnorm(jax.tree_util.tree_map(
         np.asarray, jax.device_get(state["ema_params"])))
     folded = dp.replicate(folded)
-    out = predict_step(folded, dp.shard_batch(images), cfg=cfg,
-                       conf_thres=0.001)
+    images_sharded = dp.shard_batch(images)
+    predict_c = predict_step.lower(folded, images_sharded, cfg=cfg,
+                                   conf_thres=0.001).compile()
+    barrier("predict_step-compiled")
+    out = predict_c(folded, images_sharded)
     # each process can only read its ADDRESSABLE shards of the global
     # result; sum locally, then allgather the per-host sums
     local_total = int(sum(int(np.sum(np.asarray(s.data)))

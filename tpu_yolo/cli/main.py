@@ -47,6 +47,11 @@ def parse_args():
                    help="run mosaic/affine/HSV/flip augmentation on "
                         "device (ops/augment_device.py); host only "
                         "decodes + samples draws")
+    p.add_argument("--gt-bucket", default=0, type=int,
+                   help="pin the per-step GT pad bucket (0 = adaptive). "
+                        "Multi-host: a fixed bucket removes the per-step "
+                        "host allgather that otherwise synchronizes the "
+                        "pad shape across hosts (a DCN sync point)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backward (less "
                         "activation memory, ~1/3 more FLOPs)")

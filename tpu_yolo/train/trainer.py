@@ -128,6 +128,8 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
         cache_path=os.path.join(args.data_dir, "train2017.cache.npy"))
 
     n_hosts = jax.process_count()
+    fixed_bucket = int(getattr(args, "gt_bucket", 0) or 0)
+    warned_gt_overflow = False
     sampler = None
     if n_hosts > 1:
         sampler = ShardSampler(len(dataset), n_hosts, jax.process_index())
@@ -250,13 +252,29 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                 max_n = int(np.max(np.bincount(
                     np.asarray(targets["idx"], np.int64),
                     minlength=local_bs))) if len(targets["idx"]) else 1
-                bucket = _gt_bucket(max(max_n, 1))
-                if n_hosts > 1:
-                    # Hosts must agree on the padded GT shape before the
-                    # per-host slices are assembled into one global array.
-                    from jax.experimental import multihost_utils
-                    bucket = int(np.max(multihost_utils.process_allgather(
-                        np.int32(bucket))))
+                if fixed_bucket:
+                    # --gt-bucket: fixed pad shape; no cross-host shape
+                    # agreement needed (the adaptive path's per-step
+                    # allgather is a DCN sync point on real multi-host).
+                    # Must stay truly fixed — a conditional escalation
+                    # would need a conditional collective (deadlock when
+                    # hosts disagree); overflow rows are truncated by
+                    # build_padded_targets, warned once.
+                    bucket = fixed_bucket
+                    if max_n > fixed_bucket and not warned_gt_overflow:
+                        warned_gt_overflow = True
+                        print(f"[train] warning: image with {max_n} GT "
+                              f"boxes truncated to --gt-bucket="
+                              f"{fixed_bucket}")
+                else:
+                    bucket = _gt_bucket(max(max_n, 1))
+                    if n_hosts > 1:
+                        # Hosts must agree on the padded GT shape before
+                        # the per-host slices become one global array.
+                        from jax.experimental import multihost_utils
+                        bucket = int(np.max(
+                            multihost_utils.process_allgather(
+                                np.int32(bucket))))
                 gt = build_padded_targets(
                     targets, local_bs, bucket,
                     (args.input_size, args.input_size))
