@@ -184,7 +184,7 @@ def main():
         "img_per_s": round(args.batch * args.iters / dt, 1),
         "ms_per_batch": round(ms, 2),
         "batch": args.batch, "size": args.size, "model": args.model,
-        "s2d": bool(args.s2d),
+        "s2d": bool(args.s2d), "s2d_host": bool(args.s2d_host),
         "platform": str(jax.devices()[0].platform),
     }))
 
