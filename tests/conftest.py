@@ -34,6 +34,11 @@ _CACHE = str(pathlib.Path(__file__).parent.parent / ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (minutes on this 1-core host)")
+
+
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 

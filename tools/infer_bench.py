@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--pool", type=int, default=4, help="distinct batches")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repetitions; best is reported (run-to-run "
+                         "interference on the shared relay measured up to "
+                         "~8% — BENCH.md environment notes)")
     ap.add_argument("--profile", default=None)
     ap.add_argument("--s2d", action="store_true",
                     help="apply fold_stem_space_to_depth")
@@ -170,12 +174,14 @@ def main():
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    t0 = time.perf_counter()
-    out = None
-    for i in range(args.iters):
-        out = step(params, pool[i % args.pool])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(max(args.repeats, 1) if not args.profile else 1):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(args.iters):
+            out = step(params, pool[i % args.pool])
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
     if args.profile:
         jax.profiler.stop_trace()
 

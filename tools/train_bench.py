@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--pool", type=int, default=4, help="distinct batches")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repetitions; best is reported (run-to-run "
+                         "interference on the shared relay measured up to "
+                         "~8% — BENCH.md environment notes)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--profile", default=None,
                     help="dump a jax.profiler trace to this dir")
@@ -90,13 +94,15 @@ def main():
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        images, gt = pool[i % len(pool)]
-        state, metrics = train_step(state, images, gt, 0.01, hyp_gains,
-                                    5e-4, 0.937, **step_kw)
-    jax.block_until_ready(metrics["loss_box"])
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(max(args.repeats, 1) if not args.profile else 1):
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            images, gt = pool[i % len(pool)]
+            state, metrics = train_step(state, images, gt, 0.01,
+                                        hyp_gains, 5e-4, 0.937, **step_kw)
+        jax.block_until_ready(metrics["loss_box"])
+        dt = min(dt, time.perf_counter() - t0)
 
     if args.profile:
         jax.profiler.stop_trace()
