@@ -35,6 +35,37 @@ def test_nms_synthetic_exact():
     assert (mine[:, 5] == ref[:, 5]).all()                  # classes
 
 
+def test_pregated_ranking_matches_flat():
+    """The per-anchor candidate pre-gate (ops/nms.py
+    _rank_candidates_pregated) is bit-identical to the flat top-k
+    ranking — including under dense exact score ties across anchors and
+    classes (scores quantized to 12 levels), the case the tie-breaking
+    theorem in its docstring covers."""
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.nms import batched_nms
+
+    rng = np.random.default_rng(7)
+    b, a, nc = 3, 512, 16
+    cxy = rng.uniform(40, 600, (b, a, 2))
+    wh = rng.uniform(8, 120, (b, a, 2))
+    # 12 score levels over 512 anchors x 16 classes: every level ties
+    # hundreds of candidates, many straddling the K=128 cut
+    scores = rng.integers(0, 12, (b, a, nc)).astype(np.float32) / 12.0
+    preds = jnp.asarray(np.concatenate([cxy, wh, scores], -1),
+                        jnp.float32)
+
+    for ranking in ("exact", "approx"):  # approx == exact off-TPU
+        res_p = batched_nms(preds, max_nms=128, ranking=ranking,
+                            pregate=True)
+        res_f = batched_nms(preds, max_nms=128, ranking=ranking,
+                            pregate=False)
+        for key in ("boxes", "scores", "classes", "valid", "count"):
+            np.testing.assert_array_equal(
+                np.asarray(res_p[key]), np.asarray(res_f[key]),
+                err_msg=f"{ranking}/{key}")
+
+
 def test_nms_model_outputs():
     """NMS on real (random-weight) model outputs matches the reference
     pipeline output."""

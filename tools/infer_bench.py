@@ -108,6 +108,12 @@ def main():
                          "exact = the eval/parity configuration)")
     ap.add_argument("--recall", type=float, default=None,
                     help="approx_max_k recall_target (default 0.95)")
+    ap.add_argument("--no-pregate", action="store_true",
+                    help="force flat candidate ranking (the pre-gate "
+                         "A/B control; default = measured auto policy, "
+                         "ops/nms.py _rank_candidates_pregated)")
+    ap.add_argument("--pregate", action="store_true",
+                    help="force the per-anchor candidate pre-gate on")
     ap.add_argument("--latency", action="store_true",
                     help="bs=1 p50 latency of the production serving "
                          "program (serve._predict, conf 0.25) with "
@@ -133,7 +139,8 @@ def main():
     if args.latency:
         return run_latency(args, cfg, params)
 
-    if args.max_nms or args.ranking or args.recall or args.s2d_host:
+    if args.max_nms or args.ranking or args.recall or args.s2d_host \
+            or args.no_pregate or args.pregate:
         import jax.numpy as jnp
 
         # bench.py's serving defaults unless overridden
@@ -141,6 +148,8 @@ def main():
               "approx_recall": args.recall or 0.9}
         if args.max_nms:
             kw["max_nms"] = args.max_nms
+        if args.no_pregate or args.pregate:
+            kw["pregate"] = bool(args.pregate)
         from tpu_yolo.serve import image_input_format
 
         # the entry-layout pin is stem-shape-specific: stage the
@@ -191,6 +200,8 @@ def main():
         "ms_per_batch": round(ms, 2),
         "batch": args.batch, "size": args.size, "model": args.model,
         "s2d": bool(args.s2d), "s2d_host": bool(args.s2d_host),
+        "pregate": ("on" if args.pregate else
+                    "off" if args.no_pregate else "auto"),
         "platform": str(jax.devices()[0].platform),
     }))
 
