@@ -164,6 +164,16 @@ def test_nms_from_raw_matches_two_stage():
                                np.asarray(fused["boxes"]), rtol=1e-4, atol=1e-3)
     assert (np.asarray(two["classes"]) == np.asarray(fused["classes"])).all()
 
+    # the pregated from_raw path (k < A forces the pre-gate; ranks bf16
+    # logits directly) selects identically to the flat f32 ranking
+    gated = nms_from_raw(raw, cfg, (96, 96), conf_thres=1e-6,
+                         max_nms=64, pregate=True)
+    flat = nms_from_raw(raw, cfg, (96, 96), conf_thres=1e-6,
+                        max_nms=64, pregate=False)
+    for key in ("boxes", "scores", "classes", "valid", "count"):
+        np.testing.assert_array_equal(np.asarray(gated[key]),
+                                      np.asarray(flat[key]), err_msg=key)
+
 
 def test_tiled_greedy_keep_matches_single_block():
     """Block-decomposed suppression (tiles=2) is bit-identical to the

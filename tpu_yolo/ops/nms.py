@@ -217,9 +217,11 @@ def nms_from_raw(raw_maps, cfg, input_hw,
         the top-K by score (with strictly finer tie resolution where f32
         sigmoid saturates), and the (B, A, nc) f32 sigmoid
         materialization (344 MB at bs128/640) disappears — sigmoid runs
-        on the K winners only. "exact" ranks f32 logits (score order);
-        "approx" ranks bf16 straight from the head maps (half the sort
-        bytes; the serving knob was already approximate);
+        on the K winners only. Both rankings run on the bf16 head maps
+        directly: bf16 -> f32 is a monotone injection, so even "exact"
+        selection (ties included) is identical to ranking an f32 cast
+        at half the sort-key bytes (the pregated path; the rarely-hit
+        small-A flat path still casts, where the cast is free anyway);
       * dist/cls are flattened per level, so the (B, A, 4*reg_max+nc)
         concat of the two-stage path is never materialized;
       * boxes are bulk-decoded for all anchors and then gathered per
@@ -256,8 +258,6 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     # the 2D concat writes the ranking operand in its final layout.
     flat = jnp.concatenate([m[..., reg4:].reshape(b, -1)
                             for m in raw_maps], axis=1)    # (B, A*nc)
-    if ranking == "exact":
-        flat = flat.astype(jnp.float32)
     if pregate is None:
         pregate = ranking == "exact"   # measured policy — see
         # _rank_candidates_pregated docstring (2x exact, -15% approx)
@@ -266,10 +266,16 @@ def nms_from_raw(raw_maps, cfg, input_hw,
         # (see _rank_candidates_pregated), ranked at 1/nc the sort
         # size — the (B, A, nc) view of the 2D concat is a free
         # minor-axis split, so the single-flatten layout win above is
-        # kept.
+        # kept. The bf16 head logits are ranked DIRECTLY even for
+        # "exact": bf16 -> f32 is a monotone injection, so comparisons
+        # (ties included) are identical to ranking the f32 cast while
+        # the sort keys move half the bytes; sigmoid runs in f32 on
+        # the winners below.
         top_logits, anchor_idx, cls_idx = _rank_candidates_pregated(
             flat.reshape(b, a, nc), k, ranking, approx_recall)
     else:
+        if ranking == "exact":
+            flat = flat.astype(jnp.float32)
         top_logits, top_idx = _rank_candidates(flat, k, ranking,
                                                approx_recall)
         anchor_idx, cls_idx = _split_candidate_index(top_idx, nc)
