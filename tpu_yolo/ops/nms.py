@@ -135,6 +135,13 @@ def _rank_candidates_pregated(scores3, k: int, ranking: str,
         _, aidx = jax.lax.top_k(anchor_max, k)
     aidx = jnp.sort(aidx, axis=-1)                          # (B, K) asc
     rows = jnp.take_along_axis(scores3, aidx[..., None], axis=1)
+    # Measured and REJECTED (infer_bench exact A/B, 2026-08-18): carrying
+    # the GLOBAL candidate index through the local sort as a custom
+    # payload (stable ascending lax.sort on negated bf16 keys — same
+    # (value desc, index asc) order as top_k) to remove the 262k-row
+    # aidx[slot] gather below: 1,648 vs 2,084 img/s (-21%) — top_k's
+    # specialized lowering beats a general stable two-operand sort by
+    # far more than the 2.7 ms gather costs.
     scores, local_idx = _rank_candidates(rows.reshape(b, k * nc), k,
                                          ranking, recall)
     slot, cls_idx = _split_candidate_index(local_idx, nc)
