@@ -9,7 +9,9 @@ jax.profiler trace (aggregate with tools/profile_agg.py).
 
 Usage:
   python tools/infer_bench.py [--batch 128] [--size 640] [--model n]
-                              [--iters 20] [--profile DIR] [--no-s2d]
+      [--iters 20] [--repeats 3] [--profile DIR] [--max-nms K]
+      [--ranking exact|approx] [--recall R] [--pregate|--no-pregate]
+      [--s2d|--s2d-host] [--latency]
 """
 from __future__ import annotations
 
