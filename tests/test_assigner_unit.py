@@ -87,6 +87,27 @@ def test_build_padded_targets_layout():
     np.testing.assert_allclose(out[2, 0, 0], 2)
 
 
+def test_build_padded_targets_truncates_overflow():
+    """The --gt-bucket overflow contract (train/trainer.py): an image
+    with more boxes than the fixed bucket keeps its FIRST max_gt rows
+    (dataset order) and silently drops the rest; other images are
+    unaffected."""
+    n = 6
+    targets = {
+        "cls": np.arange(n, dtype=np.float32).reshape(-1, 1),
+        "box": np.tile(np.array([[0.5, 0.5, 0.2, 0.2]], np.float32),
+                       (n, 1)),
+        "idx": np.array([0, 0, 0, 0, 0, 1], np.float32),
+    }
+    out = build_padded_targets(targets, batch_size=2, max_gt=3,
+                               input_hw=(100, 100))
+    assert out.shape == (2, 3, 5)
+    np.testing.assert_allclose(out[0, :, 0], [0, 1, 2])   # first 3 kept
+    assert (out[0, :, 3:] > 0).all()                       # real boxes
+    np.testing.assert_allclose(out[1, 0, 0], 5)            # image 1 intact
+    assert (out[1, 1:] == 0).all()
+
+
 def test_chunked_assignment_identical():
     """Above the element budget the assigner lax.maps over image chunks
     (train/loss.py ASSIGN_ELEM_BUDGET); results must be bit-identical to
