@@ -41,7 +41,7 @@ def _run_workers(num_processes: int, port: int, timeout: int = 600,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, env=env, cwd=REPO)
         for i in range(num_processes)]
-    outs, failed = [], None
+    outs, failures = [], []
     for p in procs:
         try:
             out, err = p.communicate(timeout=timeout)
@@ -49,20 +49,25 @@ def _run_workers(num_processes: int, port: int, timeout: int = 600,
             for q in procs:
                 q.kill()
             raise
-        if p.returncode != 0 and failed is None:
-            failed = err
+        if p.returncode != 0:
+            failures.append(err)
         outs.append(None if p.returncode else
                     json.loads(out.strip().splitlines()[-1]))
-    if failed is not None:
+    if failures:
         # Known cold-compile flake on this 1-core host: with an
         # invalidated XLA cache both workers recompile the train step
         # concurrently and their skew can exceed Gloo's 30 s connect
         # window (GetKeyValue DEADLINE_EXCEEDED). The first attempt
         # populates the shared compile cache, so one retry runs warm.
-        if _retry and "DEADLINE_EXCEEDED" in failed:
+        # Retry ONLY if every failed worker shows the flake signature
+        # (the coordination-service teardown it triggers on the peer
+        # also prints DEADLINE_EXCEEDED) — a genuine error on any rank
+        # must surface, not be retried away.
+        if _retry and all("DEADLINE_EXCEEDED" in f for f in failures):
             return _run_workers(num_processes, _free_port(),
                                 timeout=timeout, extra=extra, _retry=False)
-        raise AssertionError(f"worker failed:\n{failed[-4000:]}")
+        raise AssertionError("worker(s) failed:\n" + "\n---\n".join(
+            f[-4000:] for f in failures))
     return outs
 
 
@@ -87,6 +92,9 @@ def test_two_process_rehearsal_matches_single_process():
     # oracle — bucket 32 equals the adaptive choice for these GT counts,
     # and padded rows are masked out of the loss either way
     fixed = _run_workers(2, _free_port(), extra=("--gt-bucket", "32"))
+    np.testing.assert_allclose(fixed[0]["losses"], fixed[1]["losses"],
+                               rtol=0, atol=0)   # replicated across ranks
+    assert fixed[0]["eval_counts"] == fixed[1]["eval_counts"]
     np.testing.assert_allclose(np.asarray(fixed[0]["losses"]),
                                np.asarray(ref["losses"]),
                                rtol=2e-4, atol=2e-4)

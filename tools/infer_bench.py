@@ -93,7 +93,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed repetitions; best is reported (run-to-run "
                          "interference on the shared relay measured up to "
-                         "~8% — BENCH.md environment notes)")
+                         "~8%% - BENCH.md environment notes)")
     ap.add_argument("--profile", default=None)
     ap.add_argument("--s2d", action="store_true",
                     help="apply fold_stem_space_to_depth")
@@ -110,12 +110,15 @@ def main():
                          "exact = the eval/parity configuration)")
     ap.add_argument("--recall", type=float, default=None,
                     help="approx_max_k recall_target (default 0.95)")
-    ap.add_argument("--no-pregate", action="store_true",
-                    help="force flat candidate ranking (the pre-gate "
-                         "A/B control; default = measured auto policy, "
-                         "ops/nms.py _rank_candidates_pregated)")
-    ap.add_argument("--pregate", action="store_true",
-                    help="force the per-anchor candidate pre-gate on")
+    pregate_group = ap.add_mutually_exclusive_group()
+    pregate_group.add_argument(
+        "--no-pregate", action="store_true",
+        help="force flat candidate ranking (the pre-gate A/B control; "
+             "default = measured auto policy, ops/nms.py "
+             "_rank_candidates_pregated)")
+    pregate_group.add_argument(
+        "--pregate", action="store_true",
+        help="force the per-anchor candidate pre-gate on")
     ap.add_argument("--latency", action="store_true",
                     help="bs=1 p50 latency of the production serving "
                          "program (serve._predict, conf 0.25) with "

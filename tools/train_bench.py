@@ -56,7 +56,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed repetitions; best is reported (run-to-run "
                          "interference on the shared relay measured up to "
-                         "~8% — BENCH.md environment notes)")
+                         "~8%% - BENCH.md environment notes)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--profile", default=None,
                     help="dump a jax.profiler trace to this dir")

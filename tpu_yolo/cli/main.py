@@ -47,7 +47,14 @@ def parse_args():
                    help="run mosaic/affine/HSV/flip augmentation on "
                         "device (ops/augment_device.py); host only "
                         "decodes + samples draws")
-    p.add_argument("--gt-bucket", default=0, type=int,
+    def _nonneg(v):
+        iv = int(v)
+        if iv < 0:
+            raise argparse.ArgumentTypeError(
+                f"--gt-bucket must be >= 0, got {iv}")
+        return iv
+
+    p.add_argument("--gt-bucket", default=0, type=_nonneg,
                    help="pin the per-step GT pad bucket (0 = adaptive). "
                         "Multi-host: a fixed bucket removes the per-step "
                         "host allgather that otherwise synchronizes the "
