@@ -11,7 +11,7 @@ Usage:
   python tools/infer_bench.py [--batch 128] [--size 640] [--model n]
       [--iters 20] [--repeats 3] [--profile DIR] [--max-nms K]
       [--ranking exact|approx] [--recall R] [--pregate|--no-pregate]
-      [--s2d|--s2d-host] [--latency]
+      [--s2d|--s2d-host] [--latency] [--check-pregate]
 """
 from __future__ import annotations
 
@@ -38,7 +38,8 @@ def run_latency(args, cfg, params):
 
     from tpu_yolo import serve
 
-    k = args.max_nms or 2048
+    k = args.max_nms or 1024       # the Detector serving default
+    recall = args.recall or 0.9    # single default across all paths
     # the Detector program divides by 255 itself — use plain BN-folded
     # params, not the input-scale-folded ones of the throughput step
     from tpu_yolo.models import yolov11 as y
@@ -48,7 +49,8 @@ def run_latency(args, cfg, params):
     step = functools.partial(serve._predict, cfg=cfg,
                              compute_dtype=jnp.bfloat16,
                              conf_thres=0.25, iou_thres=0.65, max_det=300,
-                             ranking="approx", max_nms=k)
+                             ranking="approx", max_nms=k,
+                             approx_recall=recall)
 
     rng = np.random.default_rng(0)
     ones = [jax.device_put(rng.integers(
@@ -77,9 +79,52 @@ def run_latency(args, cfg, params):
         "p50_latency_ms_bs1": round(p50, 2),
         "dispatch_rtt_ms": round(rtt_ms, 2),
         "p50_device_ms_bs1_est": round(p50 - rtt_ms, 2),
-        "max_nms": k, "size": args.size, "model": args.model,
+        "max_nms": k, "approx_recall": recall,
+        "size": args.size, "model": args.model,
         "platform": str(jax.devices()[0].platform),
     }))
+
+
+def check_pregate(args, cfg, params):
+    """Assert the exact-ranking pre-gate is bit-identical to flat
+    ranking ON THIS BACKEND (ops/nms.py::_rank_candidates_pregated).
+
+    The pregate theorem's tie case relies on lax.top_k breaking score
+    ties toward the lower index; tests verify that on the CPU backend,
+    this verifies the TPU lowering too. bf16 head logits tie often, so
+    random-init outputs on random images exercise the tie path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.models import yolov11
+
+    def f(p, images, pregate):
+        return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
+                                   ranking="exact", conf_thres=0.001,
+                                   pregate=pregate)
+
+    on = jax.jit(lambda p, x: f(p, x, True))
+    off = jax.jit(lambda p, x: f(p, x, False))
+    rng = np.random.default_rng(7)
+    n_batches, mismatches, checked = 4, [], 0
+    for b in range(n_batches):
+        img = jax.device_put(rng.integers(
+            0, 256, (16, args.size, args.size, 3), np.uint8))
+        a = jax.device_get(on(params, img))
+        c = jax.device_get(off(params, img))
+        for key in sorted(a):
+            checked += 1
+            if not np.array_equal(np.asarray(a[key]), np.asarray(c[key])):
+                mismatches.append(f"batch{b}:{key}")
+    print(json.dumps({
+        "check": "pregate_vs_flat_exact_ranking",
+        "backend": str(jax.default_backend()),
+        "batches": n_batches, "fields_checked": checked,
+        "bit_identical": not mismatches, "mismatches": mismatches,
+        "model": args.model, "size": args.size,
+    }))
+    if mismatches:
+        sys.exit(1)
 
 
 def main():
@@ -102,14 +147,17 @@ def main():
                          "pre-rearranged on host (space_to_depth_host): "
                          "no on-device transpose pass")
     ap.add_argument("--max-nms", type=int, default=None,
-                    help="candidate budget K (default: forward_nms's "
-                         "2048 parity budget; 1024 = serving config)")
+                    help="candidate budget K (throughput path default: "
+                         "forward_nms's 2048 parity budget; --latency "
+                         "defaults to the Detector serving 1024)")
     ap.add_argument("--ranking", default=None,
                     choices=["exact", "approx"],
                     help="candidate ranking (default approx = serving; "
                          "exact = the eval/parity configuration)")
     ap.add_argument("--recall", type=float, default=None,
-                    help="approx_max_k recall_target (default 0.95)")
+                    help="approx_max_k recall_target (default 0.9, the "
+                         "serving configuration — every path of this "
+                         "tool uses it)")
     pregate_group = ap.add_mutually_exclusive_group()
     pregate_group.add_argument(
         "--no-pregate", action="store_true",
@@ -123,7 +171,19 @@ def main():
                     help="bs=1 p50 latency of the production serving "
                          "program (serve._predict, conf 0.25) with "
                          "dispatch-RTT subtraction (bench.py's method)")
+    ap.add_argument("--check-pregate", action="store_true",
+                    help="bit-parity assertion on THIS backend: run the "
+                         "exact-ranking tail with pregate forced on and "
+                         "forced off over distinct random batches and "
+                         "assert identical outputs (the pregate theorem "
+                         "relies on lax.top_k's lower-index tie-break, "
+                         "verified on CPU by tests; this checks the TPU "
+                         "lowering — ADVICE r3)")
     args = ap.parse_args()
+    if args.s2d_host and args.latency:
+        ap.error("--s2d-host is not implemented for --latency "
+                 "(run_latency stages plain images; the measurement "
+                 "would be mislabeled) — use --s2d or drop --latency")
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -143,6 +203,8 @@ def main():
 
     if args.latency:
         return run_latency(args, cfg, params)
+    if args.check_pregate:
+        return check_pregate(args, cfg, params)
 
     if args.max_nms or args.ranking or args.recall or args.s2d_host \
             or args.no_pregate or args.pregate:

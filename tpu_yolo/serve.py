@@ -67,7 +67,7 @@ class Detector:
                  decode_threads: int = 8, dp=None,
                  ranking: str = "approx",
                  device_letterbox: bool = False, stage_size: int = 960,
-                 max_nms: int = 2048,
+                 max_nms: int = 1024,
                  approx_recall: float = 0.9):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
@@ -92,14 +92,16 @@ class Detector:
         kernel. Originals longer than stage_size are pre-shrunk on host
         to fit (ratio folded into the returned boxes).
 
-        `max_nms`: NMS candidate budget K. 2048 is the reference-parity
-        envelope (covers every above-conf candidate at eval's
-        conf=0.001); at serving conf 0.25 a scene produces far fewer,
-        and the B·K² suppression work is the post-forward cost center
-        at large batch (K=1024: 5,951 vs 4,817 img/s at bs128,
-        BENCH.md). Measured NOT to move bs=1 latency (7.4 ms device
-        either way — the batch-1 forward dominates), so it is a
-        throughput/memory knob, not a latency one."""
+        `max_nms`: NMS candidate budget K. Serving default 1024 — the
+        measured sweet spot (6,617 vs 5,571 img/s at the 2048 parity
+        envelope, bs128; object-level recall on clustered scenes is
+        1.0000 at K=1024 and even K=512 — BENCH.md object-level bound).
+        Pass 2048 for the reference-parity envelope (covers every
+        above-conf candidate at eval's conf=0.001; the eval harness's
+        own default). The B·K² suppression work is the post-forward
+        cost center at large batch. Measured NOT to move bs=1 latency
+        (7.4 ms device either way — the batch-1 forward dominates), so
+        it is a throughput/memory knob, not a latency one."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
@@ -343,7 +345,7 @@ class Detector:
                                              "max_det", "ranking",
                                              "max_nms", "approx_recall"))
 def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
-             max_det, ranking="approx", max_nms=2048, approx_recall=0.9):
+             max_det, ranking="approx", max_nms=1024, approx_recall=0.9):
     x = images.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
@@ -358,7 +360,7 @@ def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
                                              "approx_recall"))
 def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
                     conf_thres, iou_thres, max_det, ranking="approx",
-                    max_nms=2048, approx_recall=0.9):
+                    max_nms=1024, approx_recall=0.9):
     """Device-letterbox serving program: raw staged uint8 -> letterbox
     (ops/letterbox.py, single-resize serving geometry) -> normalize ->
     forward -> NMS, one jitted graph."""
