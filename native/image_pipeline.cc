@@ -271,6 +271,12 @@ int ip_load_one(void* p, const uint8_t* bytes, int64_t len, uint8_t* out,
 // scale_mode 1: always resize so the long side == stage, truncated
 //   dims (matches data/image.py::load_image: r = stage/max(h,w),
 //   new = int(dim*r)) — the train-augment staging contract.
+// scale_mode 2: scale_mode-1 resize, then CENTERED placement with the
+//   letterbox round(pad -/+ 0.1) split — the full eval image contract
+//   (data/image.py::load_image + letterbox(augment=False), reference
+//   utils/dataset.py:95-103 + 292-313 composed): at eval the letterbox
+//   ratio is always exactly 1 (the pre-scale already set the long side
+//   == stage), so eval letterboxing is purely this centered pad.
 static int load_batch_staged(Pipeline* pl, const char** paths, int n,
                              int stage, int scale_mode, uint8_t* out,
                              float* dims) {
@@ -299,7 +305,7 @@ static int load_batch_staged(Pipeline* pl, const char** paths, int n,
       std::memset(slot, 0, stride);
       if (ok) {
         int sh = h, sw = w;
-        const bool resize = scale_mode == 1 ? ((h > w ? h : w) != stage)
+        const bool resize = scale_mode != 0 ? ((h > w ? h : w) != stage)
                                             : (h > stage || w > stage);
         std::vector<uint8_t> scaled;
         const uint8_t* src = rgb.data();
@@ -309,7 +315,7 @@ static int load_batch_staged(Pipeline* pl, const char** paths, int n,
           // float64, and int(532 * (640.f/532)) = 639 != 640 — a
           // one-pixel dims divergence for ~2.5% of long-side values.
           const double d = static_cast<double>(stage) / (h > w ? h : w);
-          if (scale_mode == 1) {
+          if (scale_mode != 0) {
             sh = static_cast<int>(h * d);
             sw = static_cast<int>(w * d);
           } else {
@@ -324,8 +330,14 @@ static int load_batch_staged(Pipeline* pl, const char** paths, int n,
           resize_bilinear_rgb(rgb.data(), w, h, scaled.data(), sw, sh);
           src = scaled.data();
         }
+        int top = 0, left = 0;
+        if (scale_mode == 2) {
+          // data/image.py::letterbox center split: round(pad - 0.1)
+          top = static_cast<int>(std::lroundf((stage - sh) / 2.0f - 0.1f));
+          left = static_cast<int>(std::lroundf((stage - sw) / 2.0f - 0.1f));
+        }
         for (int y = 0; y < sh; ++y)
-          std::memcpy(slot + static_cast<size_t>(y) * stage * 3,
+          std::memcpy(slot + (static_cast<size_t>(y + top) * stage + left) * 3,
                       src + static_cast<size_t>(y) * sw * 3,
                       static_cast<size_t>(sw) * 3);
         dims[i * 4 + 0] = static_cast<float>(sh);
@@ -361,6 +373,17 @@ int ip_load_batch_scaled(void* p, const char** paths, int n, int stage,
                          uint8_t* out, float* dims) {
   return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
                            /*scale_mode=*/1, out, dims);
+}
+
+// Eval staging: the full eval image contract in one native pass —
+// load_image resize (long side == stage, truncated dims) + centered
+// letterbox pad (reference eval loader, main.py:232-234). dims is the
+// scaled contract's [staged_h, staged_w, orig_h, orig_w]; the label
+// geometry (pads) derives from it on the Python side.
+int ip_load_batch_eval(void* p, const char** paths, int n, int stage,
+                       uint8_t* out, float* dims) {
+  return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
+                           /*scale_mode=*/2, out, dims);
 }
 
 // Decode+letterbox a batch of n files in parallel into `out`

@@ -43,6 +43,12 @@ def parse_args():
     p.add_argument("--plot", action="store_true", help="save eval curves")
     p.add_argument("--tensorboard", action="store_true",
                    help="also log scalars to save-dir/tb (CSV always written)")
+    p.add_argument("--native-eval", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="eval data loader: native C++ pipeline when the "
+                        ".so exists (auto, the default), required (on), "
+                        "or the Python cv2 loader (off — the parity "
+                        "oracle path; identical geometry either way)")
     p.add_argument("--device-augment", action="store_true",
                    help="run mosaic/affine/HSV/flip augmentation on "
                         "device (ops/augment_device.py); host only "
@@ -124,8 +130,10 @@ def run_test(args, hyp, cfg, max_images: int | None = None):
                              f"val2017.first{max_images}.cache.npy")
     dataset = DetectionDataset(
         filenames, args.input_size, hyp, augment=False, cache_path=cache)
-    loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
-                        num_workers=args.workers)
+    from tpu_yolo.data.loader import make_val_loader
+    loader = make_val_loader(dataset, args.val_batch_size,
+                             num_workers=args.workers,
+                             native=getattr(args, "native_eval", "auto"))
 
     # Shard eval batches across local chips (as many as divide the
     # batch; no-op on one chip).

@@ -111,3 +111,30 @@ class ShardSampler:
         per = -(-self.n // self.num_shards)
         padded = np.concatenate([idx, idx[: per * self.num_shards - self.n]])
         return padded[self.shard::self.num_shards]
+
+
+def make_val_loader(dataset, batch_size: int, num_workers: int = 8,
+                    native: str = "auto"):
+    """Eval loader factory (reference eval DataLoader, main.py:232-234).
+
+    Prefers the native C++ pipeline (native_loader.NativeEvalLoader —
+    identical image/label geometry, decode+letterbox in the GIL-free
+    C++ pool) when the .so is available, because the Python cv2 thread
+    loader makes eval wall-time host-bound on busy/small hosts
+    (BENCH.md "eval loader A/B"). `native`: "auto" (use it if present),
+    "on" (require it), "off" (Python loader — the parity oracle path).
+    """
+    if native not in ("auto", "on", "off"):
+        raise ValueError(f"native must be auto|on|off, got {native!r}")
+    if native != "off":
+        from tpu_yolo.data import native_loader as nl
+        if nl.available():
+            return nl.NativeEvalLoader(dataset, batch_size,
+                                       threads=max(num_workers, 1))
+        if native == "on":
+            raise RuntimeError(
+                "native eval loader requested (--native-eval on) but "
+                "native/libtpuyolo_data.so is unavailable; run "
+                "`make -C native`")
+    return DataLoader(dataset, batch_size, shuffle=False,
+                      num_workers=num_workers)

@@ -55,6 +55,8 @@ def _load():
         ctypes.POINTER(ctypes.c_float)]
     lib.ip_load_batch_scaled.restype = ctypes.c_int
     lib.ip_load_batch_scaled.argtypes = lib.ip_load_batch_raw.argtypes
+    lib.ip_load_batch_eval.restype = ctypes.c_int
+    lib.ip_load_batch_eval.argtypes = lib.ip_load_batch_raw.argtypes
     _lib = lib
     return lib
 
@@ -210,6 +212,50 @@ class NativePipeline:
                                    self._fb_raw(stage))
         return out, dims, int(nfail)
 
+    def _fb_eval(self, stage):
+        def fill(img, out_i, dims_i):
+            """Bit-identical mirror of the Python eval image path
+            (data/image.py::load_image + letterbox(augment=False)):
+            float64 ratio, truncated dims, cv2.INTER_LINEAR, centered
+            round(pad - 0.1) placement, BGR->RGB at the end."""
+            import cv2
+
+            h, w = img.shape[:2]
+            r = stage / max(h, w)
+            sh, sw = h, w
+            if r != 1:
+                sh, sw = int(h * r), int(w * r)
+                img = cv2.resize(img, (sw, sh),
+                                 interpolation=cv2.INTER_LINEAR)
+            top = int(round((stage - sh) / 2 - 0.1))
+            left = int(round((stage - sw) / 2 - 0.1))
+            out_i[:] = 0
+            out_i[top:top + sh, left:left + sw] = img[:, :, ::-1]
+            dims_i[:] = (sh, sw, h, w)
+        return fill
+
+    def load_batch_eval(self, paths: list[str], stage: int):
+        """Parallel decode + the FULL eval image contract in one pass:
+        load_image resize (long side == stage, truncated dims) then the
+        centered letterbox pad (data/image.py load_image + letterbox
+        composed; reference eval loader main.py:232-234). Returns
+        (images (N, stage, stage, 3) uint8 RGB, dims (N,4)
+        [staged_h, staged_w, orig_h, orig_w], n_failures); failed slots
+        zeroed with dims[i,0] == -1. Label geometry derives from dims:
+        pad_w = (stage - staged_w) / 2, pad_h = (stage - staged_h) / 2."""
+        n = len(paths)
+        out = np.empty((n, stage, stage, 3), np.uint8)
+        dims = np.empty((n, 4), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        nfail = self._lib.ip_load_batch_eval(
+            self._h, arr, n, stage,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if nfail:
+            nfail = self._fallback(paths, dims[:, 0] < 0, out, dims,
+                                   self._fb_eval(stage))
+        return out, dims, int(nfail)
+
     def load_batch_scaled(self, paths: list[str], stage: int):
         """Parallel decode + resize so every image's long side == stage
         (bilinear, up or down; truncated dims — the load_image contract,
@@ -229,3 +275,97 @@ class NativePipeline:
             nfail = self._fallback(paths, dims[:, 0] < 0, out, dims,
                                    self._fb_scaled(stage))
         return out, dims, int(nfail)
+
+
+class NativeEvalLoader:
+    """Eval-loop data loader over the native C++ pipeline.
+
+    Drop-in for data/loader.py::DataLoader in eval/evaluator.py::evaluate
+    (reference eval loader: main.py:232-234 — torch DataLoader over a
+    non-augmenting Dataset): yields (images (B,S,S,3) uint8 RGB,
+    targets {"cls","box","idx"}) in dataset order. Images run through
+    ip_load_batch_eval — the exact load_image + letterbox(augment=False)
+    geometry in the GIL-free C++ pool (pixel values differ from cv2 only
+    by the decoder/bilinear tolerance, test_native_loader.py; non-JPEGs
+    take the bit-identical cv2 fallback) — and the label geometry is the
+    same denorm_corners/corners_to_norm math the Python Dataset applies
+    (data/dataset.py eval branch), computed from the returned dims.
+
+    One batch is prefetched in a background thread so host decode
+    overlaps the device forward (the evaluator double-buffers on top).
+    """
+
+    def __init__(self, dataset, batch_size: int, threads: int = 8,
+                 prefetch: int = 2):
+        self.dataset = dataset          # DetectionDataset(augment=False)
+        self.batch_size = batch_size
+        self.input_size = dataset.input_size
+        self.pipe = NativePipeline(self.input_size, threads=threads)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return -(-len(self.dataset.filenames) // self.batch_size)
+
+    def _make_batch(self, lo: int):
+        paths = self.dataset.filenames[lo:lo + self.batch_size]
+        images, dims, nfail = self.pipe.load_batch_eval(paths,
+                                                        self.input_size)
+        if nfail:
+            bad = [p for p, d in zip(paths, dims) if d[0] < 0]
+            raise ValueError(f"undecodable eval images: {bad}")
+        from tpu_yolo.data.augment import corners_to_norm, denorm_corners
+        s = float(self.input_size)
+        cls_all, box_all, idx_all = [], [], []
+        for i, d in enumerate(dims):
+            sh, sw = float(d[0]), float(d[1])
+            label = self.dataset.labels[lo + i].copy()
+            if label.size:
+                label[:, 1:] = denorm_corners(
+                    label[:, 1:], sw, sh, (s - sw) / 2, (s - sh) / 2)
+                box = corners_to_norm(label[:, 1:5], s, s)
+            else:
+                box = label[:, 1:5].copy()
+            cls_all.append(label[:, 0:1].astype(np.float32))
+            box_all.append(box.astype(np.float32))
+            idx_all.append(np.full(len(label), i, dtype=np.float32))
+        targets = {"cls": np.concatenate(cls_all, 0),
+                   "box": np.concatenate(box_all, 0),
+                   "idx": np.concatenate(idx_all, 0)}
+        return images, targets
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        starts = list(range(0, len(self.dataset.filenames), self.batch_size))
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for lo in starts:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(lo))
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while worker.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

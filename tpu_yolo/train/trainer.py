@@ -375,7 +375,9 @@ def _run_eval(args, hyp, cfg, folded_params):
     dataset = DetectionDataset(
         filenames, args.input_size, hyp, augment=False,
         cache_path=os.path.join(args.data_dir, "val2017.cache.npy"))
-    loader = DataLoader(dataset, args.val_batch_size, shuffle=False,
-                        num_workers=args.workers)
+    from tpu_yolo.data.loader import make_val_loader
+    loader = make_val_loader(dataset, args.val_batch_size,
+                             num_workers=args.workers,
+                             native=getattr(args, "native_eval", "auto"))
     return evaluate(folded_params, loader, cfg, args.input_size,
                     progress=True)
