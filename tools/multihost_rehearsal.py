@@ -15,7 +15,32 @@ Run one process per host:
       --num-processes 2 --process-id I [--steps 3]
 With --num-processes 1 it computes the single-process reference on the
 same global batch (the oracle the test compares against). Prints one
-JSON line: {"process_id", "losses" [[box, cls, dfl]...], "eval_counts"}.
+JSON line: {"process_id", "losses" [[box, cls, dfl]...], "eval_counts",
+and with --eval-ap also "map"/"map50"}.
+
+Further rehearsal modes (VERDICT r3 item 4):
+  --local-devices N  virtual CPU devices per process. The SPMD compile
+                     cache key depends only on the GLOBAL topology, so
+                     an oracle run at `--num-processes 1
+                     --local-devices 8` populates the persistent cache
+                     with the very executables a following 2x4 (or 4x2)
+                     multi-process run needs — the ranks then compile
+                     warm and reach their first collective together.
+                     That is the root fix for the Gloo 30 s
+                     connect-window flake the test suite used to retry
+                     around (cold-compile rank skew on a 1-core host).
+  --ckpt PATH        after the last step, process 0 saves the full
+                     training state (the trainer last.ckpt payload);
+                     all ranks barrier on it.
+  --resume-from PATH all ranks load the state instead of init (the
+                     save -> kill -> resume cycle; pair with
+                     --start-step so the data stream continues).
+  --eval-ap          full AP-producing distributed eval: sharded
+                     forward, per-host detection rows allgathered, the
+                     SAME host-side matching + 101-pt AP as
+                     eval/evaluator.py on every rank (reference
+                     distributed eval contract: main.py:224-304 under
+                     torchrun).
 """
 from __future__ import annotations
 
@@ -23,10 +48,6 @@ import argparse
 import json
 import os
 import sys
-
-# Each process needs its OWN local device set; this must be in the env
-# before the backend initializes (the test parent's conftest exports 8).
-_LOCAL_DEVICES = 4
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -82,10 +103,26 @@ def main():
     ap.add_argument("--gt-bucket", type=int, default=0,
                     help="fixed GT pad bucket (trainer --gt-bucket): "
                          "skip the per-step allgather agreement")
+    ap.add_argument("--local-devices", type=int, default=4,
+                    help="virtual CPU devices per process (4x2 and 2x4 "
+                         "topologies must agree with the oracle)")
+    ap.add_argument("--start-step", type=int, default=0,
+                    help="first synthetic-data step index (resume runs "
+                         "continue the oracle's data stream)")
+    ap.add_argument("--ckpt", default="",
+                    help="save full train state here after the last step")
+    ap.add_argument("--resume-from", default="",
+                    help="load train state from this checkpoint")
+    ap.add_argument("--eval-ap", action="store_true",
+                    help="run the AP-producing distributed eval section")
     args = ap.parse_args()
 
-    os.environ["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={_LOCAL_DEVICES}")
+    # Each process needs its OWN local device set; this must be in the
+    # env before the backend initializes (the test parent's conftest
+    # exports 8).
+    n_devices = args.num_processes * args.local_devices
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               f"{args.local_devices}")
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -95,7 +132,6 @@ def main():
             num_processes=args.num_processes,
             process_id=args.process_id)
         assert jax.process_count() == args.num_processes
-    n_devices = args.num_processes * _LOCAL_DEVICES
     assert len(jax.devices()) == n_devices
 
     import jax.numpy as jnp
@@ -110,8 +146,18 @@ def main():
 
     cfg = ModelConfig(width=(3, 8, 16, 32, 64, 128), depth=(1,) * 6,
                       csp=(False, True), num_classes=8)
-    params = yolov11.init_params(jax.random.PRNGKey(0), cfg)
-    state = init_train_state(params, ema=True, accumulate=1)
+    if args.resume_from:
+        # the save -> kill -> resume cycle: every rank loads the same
+        # host-numpy payload (trainer.py resume flow, _save_train_ckpt
+        # shape) and re-replicates it over its own mesh
+        from tpu_yolo.io import checkpoint as ckpt_io
+        payload = ckpt_io.load_checkpoint(args.resume_from)
+        state = {k: jax.tree_util.tree_map(jnp.asarray, payload[k])
+                 for k in ("params", "opt", "step", "ema_updates",
+                           "ema_params")}
+    else:
+        params = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(params, ema=True, accumulate=1)
     dp = DataParallel(make_mesh(n_data=n_devices))
     state = dp.replicate(state)
 
@@ -148,7 +194,7 @@ def main():
             state, images, gt, 0.01, hyp_gains, 5e-4, 0.937)
 
     losses = []
-    for step in range(args.steps):
+    for step in range(args.start_step, args.start_step + args.steps):
         images_g, targets_g = make_global_batch(
             step, args.global_batch, args.size, cfg.num_classes)
         images, targets = slice_host(images_g, targets_g,
@@ -181,6 +227,19 @@ def main():
                        float(metrics["loss_cls"]),
                        float(metrics["loss_dfl"])])
 
+    if args.ckpt:
+        # every rank holds the replicated state; process 0 serializes
+        # it exactly like the trainer (_save_train_ckpt payload), a
+        # barrier makes the file durable before any rank exits
+        if args.process_id == 0:
+            from tpu_yolo.io import checkpoint as ckpt_io
+            ckpt_io.save_checkpoint(args.ckpt, {
+                "epoch": 0, "best": 0.0, "meta": {},
+                **{k: jax.device_get(state[k]) for k in
+                   ("params", "opt", "step", "ema_updates",
+                    "ema_params")}})
+        barrier("ckpt-saved")
+
     # one sharded eval forward on the trained params (replicated loss
     # already proves the gradient psum; this proves the eval path's
     # batch assembly + global reduction)
@@ -209,8 +268,70 @@ def main():
     else:
         total = local_total
 
-    print(json.dumps({"process_id": args.process_id, "losses": losses,
-                      "eval_counts": total}), flush=True)
+    result = {"process_id": args.process_id, "losses": losses,
+              "eval_counts": total}
+
+    if args.eval_ap:
+        # Full AP-producing distributed eval (reference distributed
+        # test(): main.py:224-304 under torchrun): sharded forward per
+        # val batch, then every rank gathers the per-host detection
+        # rows and runs the IDENTICAL host-side TP matching + 101-pt
+        # AP the single-host evaluator uses (eval/evaluator.py,
+        # eval/metrics.py) — so mAP is a replicated scalar, equal
+        # across ranks and equal to the single-process oracle.
+        from tpu_yolo.eval.evaluator import IOU_THRESHOLDS, _gt_pixel_boxes
+        from tpu_yolo.eval.metrics import (average_precision,
+                                           match_predictions)
+
+        def host_rows(garr):
+            """This process's rows of a batch-sharded global array,
+            in global row order."""
+            shards = sorted(garr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards], 0)
+
+        all_tp, all_conf, all_pcls, all_tcls = [], [], [], []
+        for vstep in (1001, 1002):
+            images_g, targets_g = make_global_batch(
+                vstep, args.global_batch, args.size, cfg.num_classes)
+            images, _ = slice_host(images_g, targets_g,
+                                   args.process_id, host_bs)
+            out = predict_c(folded, dp.shard_batch(images))
+            local = {k: host_rows(out[k])
+                     for k in ("boxes", "scores", "classes", "count")}
+            if args.num_processes > 1:
+                from jax.experimental import multihost_utils
+                out_h = {k: np.concatenate(
+                    list(multihost_utils.process_allgather(v)), 0)
+                    for k, v in local.items()}
+            else:
+                out_h = local
+            for b in range(args.global_batch):
+                cnt = int(out_h["count"][b])
+                det = np.zeros((cnt, 6), np.float32)
+                det[:, :4] = out_h["boxes"][b][:cnt]
+                det[:, 4] = out_h["scores"][b][:cnt]
+                det[:, 5] = out_h["classes"][b][:cnt]
+                gt = _gt_pixel_boxes(targets_g, b, (args.size, args.size))
+                if cnt == 0:
+                    if gt.shape[0]:
+                        all_tcls.append(gt[:, 0])
+                    continue
+                all_tp.append(match_predictions(det, gt, IOU_THRESHOLDS))
+                all_conf.append(det[:, 4])
+                all_pcls.append(det[:, 5])
+                all_tcls.append(gt[:, 0])
+        if all_tp:
+            res = average_precision(
+                np.concatenate(all_tp, 0), np.concatenate(all_conf, 0),
+                np.concatenate(all_pcls, 0),
+                np.concatenate(all_tcls, 0) if all_tcls else np.zeros(0))
+            result["map"] = float(res["map"])
+            result["map50"] = float(res["map50"])
+        else:
+            result["map"] = result["map50"] = 0.0
+
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
