@@ -196,6 +196,7 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
             active.set_epoch(epoch)
 
             meters = {k: AverageMeter() for k in ("box", "cls", "dfl")}
+            epoch_gt_truncated = 0  # --gt-bucket label loss this epoch
             it = active
             if is_rank0:
                 import tqdm
@@ -259,13 +260,22 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                     # Must stay truly fixed — a conditional escalation
                     # would need a conditional collective (deadlock when
                     # hosts disagree); overflow rows are truncated by
-                    # build_padded_targets, warned once.
+                    # build_padded_targets. Truncated boxes are counted
+                    # host-side per epoch (no collective, shape fixed)
+                    # so sustained label loss is visible in the epoch
+                    # summary, not just a once-per-run warning.
                     bucket = fixed_bucket
-                    if max_n > fixed_bucket and not warned_gt_overflow:
-                        warned_gt_overflow = True
-                        print(f"[train] warning: image with {max_n} GT "
-                              f"boxes truncated to --gt-bucket="
-                              f"{fixed_bucket}")
+                    if max_n > fixed_bucket:
+                        counts = np.bincount(
+                            np.asarray(targets["idx"], np.int64),
+                            minlength=local_bs)
+                        epoch_gt_truncated += int(
+                            np.maximum(counts - fixed_bucket, 0).sum())
+                        if not warned_gt_overflow:
+                            warned_gt_overflow = True
+                            print(f"[train] warning: image with {max_n} "
+                                  f"GT boxes truncated to --gt-bucket="
+                                  f"{fixed_bucket}")
                 else:
                     bucket = _gt_bucket(max(max_n, 1))
                     if n_hosts > 1:
@@ -313,6 +323,14 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                     it.set_postfix(box=f"{meters['box'].avg:.3f}",
                                    cls=f"{meters['cls'].avg:.3f}",
                                    dfl=f"{meters['dfl'].avg:.3f}")
+
+            if epoch_gt_truncated:
+                # Persistent --gt-bucket overflow must stay visible (a
+                # too-small bucket silently degrades training labels);
+                # per-host count, printed by every host that loses boxes.
+                print(f"[train] epoch {epoch + 1}: {epoch_gt_truncated} "
+                      f"GT boxes truncated by --gt-bucket={fixed_bucket} "
+                      f"on this host (raise the bucket if persistent)")
 
             # --- per-epoch eval + checkpoint (rank 0; main.py:188-216) --
             if is_rank0:
