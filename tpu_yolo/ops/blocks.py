@@ -87,6 +87,14 @@ def attention(p, x, ctx: Context, path: str, num_head: int):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(b, h, w, c)
+    # roofline accounting for the two attention dots (QK^T and AV):
+    # 2·b·nh·t²·dk + 2·b·nh·t²·dh FLOPs; bytes = q/k/v reads + out write
+    # (+ the t×t score plane twice unless the Pallas path keeps it VMEM)
+    ctx.note_dot(
+        sub(path, "attn"),
+        flops=2 * b * num_head * t * t * (dk + dh),
+        nbytes=2 * (b * t * c * 2          # q,k,v in ≈ c channels total
+                    + b * t * dh * num_head))
 
     v_img = v.reshape(b, h, w, c)
     pos = conv_bn(p["pe"], v_img, ctx, sub(path, "pe"), padding=1, groups=c, act=identity)

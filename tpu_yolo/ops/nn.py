@@ -52,10 +52,28 @@ class Context:
     calibrate: bool = False
     updates: dict = dataclasses.field(default_factory=dict)
     absmax: dict = dataclasses.field(default_factory=dict)
+    # When a list is installed (tools/roofline.py), every conv/dot in
+    # the forward appends its exact shapes here at trace time — the
+    # analytic per-stage FLOPs/bytes roofline is derived from these, so
+    # it can never drift from the real graph.
+    convs: list | None = None
 
     def put(self, path: str, mean, var):
         if self.train:
             self.updates[path] = {"mean": mean, "var": var}
+
+    def note_conv(self, path: str, x, w, y, stride: int, groups: int):
+        if self.convs is not None:
+            self.convs.append({
+                "path": path, "kind": "conv", "in": tuple(x.shape),
+                "w": tuple(w.shape), "out": tuple(y.shape),
+                "stride": stride, "groups": groups})
+
+    def note_dot(self, path: str, flops: int, nbytes: int):
+        """Non-conv MXU work (attention QK^T / AV) for the roofline."""
+        if self.convs is not None:
+            self.convs.append({"path": path, "kind": "dot",
+                               "flops": int(flops), "bytes": int(nbytes)})
 
     def observe(self, path: str, x):
         if self.calibrate:
@@ -100,14 +118,21 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
     if "w_q" in p:
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / p["s_in"]),
                       -127, 127).astype(jnp.int8)
-        y = conv2d(xq, p["w_q"], stride=stride, padding=padding,
-                   groups=groups, preferred_element_type=jnp.int32)
+        with jax.named_scope(path):
+            y = conv2d(xq, p["w_q"], stride=stride, padding=padding,
+                       groups=groups, preferred_element_type=jnp.int32)
+        ctx.note_conv(path, xq, p["w_q"], y, stride, groups)
         y = y.astype(jnp.float32) * (p["s_in"] * p["s_w"]) + p["b"]
         return act(y).astype(x.dtype)
 
     ctx.observe(path, x)
     w = p["w"].astype(x.dtype)
-    y = conv2d(x, w, stride=stride, padding=padding, groups=groups)
+    # named_scope is trace-time metadata only: it tags the lowered HLO
+    # (and thus profiler events) with the param-tree path so a trace can
+    # be aggregated per stage (tools/roofline.py --profile).
+    with jax.named_scope(path):
+        y = conv2d(x, w, stride=stride, padding=padding, groups=groups)
+    ctx.note_conv(path, x, w, y, stride, groups)
 
     if "b" in p:
         return act(y + p["b"].astype(y.dtype))
