@@ -87,25 +87,41 @@ def conv_cost(rec: dict, train: bool):
     return 3 * flops, fwd_bytes + bwd_bytes
 
 
-def profile_stage_ms(profile_dir: str):
-    """Measured device-time per stage from a jax.profiler trace: events
-    whose name/metadata mention a named-scope path are attributed to
-    that stage; everything else lands in '(unattributed)'."""
+def profile_stage_ms(profile_dir: str, steps: int = 1, top: int = 15):
+    """Measured device-time per stage (PER STEP) from a jax.profiler
+    trace. Only the leaf 'XLA Ops' device lane is summed — the 'Steps'
+    and 'XLA Modules' lanes are hierarchical parents of the same time
+    and would double-count. Events whose name/metadata mention a
+    named-scope path are attributed to that stage; everything else
+    lands in '(unattributed)' and the top offenders are printed."""
     from tools.profile_agg import device_pids, load_trace
     trace = load_trace(profile_dir)
     events = trace["traceEvents"]
     pids, _ = device_pids(events, None)
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["pid"] in pids
+               and e["args"].get("name") == "XLA Ops"}
     pat = re.compile(r"(?:net|fpn|head)/[A-Za-z0-9_/]+")
     per = collections.defaultdict(float)
+    unattr = collections.defaultdict(float)
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         dur = float(e.get("dur", 0.0))
         hay = e.get("name", "") + " " + " ".join(
             str(v) for v in (e.get("args") or {}).values())
         m = pat.search(hay)
-        per[stage_of(m.group(0)) if m else "(unattributed)"] += dur
-    return {k: v / 1e3 for k, v in per.items()}   # us -> ms
+        if m:
+            per[stage_of(m.group(0))] += dur
+        else:
+            per["(unattributed)"] += dur
+            unattr[e.get("name", "?")] += dur
+    if unattr:
+        print(f"top unattributed leaf ops (ms/step over {steps} steps):")
+        for name, d in sorted(unattr.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {d / 1e3 / steps:>8.2f}  {name}")
+    return {k: v / 1e3 / steps for k, v in per.items()}   # us -> ms/step
 
 
 def main():
@@ -117,6 +133,8 @@ def main():
                     help="fwd+bwd byte/FLOP model (unfolded BN)")
     ap.add_argument("--profile", default="",
                     help="jax.profiler trace dir: join measured ms/stage")
+    ap.add_argument("--steps", type=int, default=1,
+                    help="steps captured in the trace (divides measured)")
     ap.add_argument("--peak-tf", type=float, default=PEAK_TF / 1e12)
     ap.add_argument("--peak-gbs", type=float, default=PEAK_BW / 1e9)
     ap.add_argument("--json", default="", help="also dump rows as JSON")
@@ -135,7 +153,8 @@ def main():
         stages[s][1] += by
         stages[s][2] += 1
 
-    measured = profile_stage_ms(args.profile) if args.profile else {}
+    measured = (profile_stage_ms(args.profile, steps=args.steps)
+                if args.profile else {})
 
     mode = "train fwd+bwd" if args.train else "inference (folded)"
     print(f"# v11-{args.size} @ {args.input}px bs{args.batch} — {mode}; "

@@ -236,8 +236,12 @@ def _backbone(p, x, ctx, cfg: ModelConfig):
 def _fpn(p, feats, ctx, cfg: ModelConfig):
     csp0, csp1 = cfg.csp
     p3, p4, p5 = feats
-    h4 = blocks.csp(p["h1"], jnp.concatenate((upsample2x(p5), p4), -1), ctx, "fpn/h1", csp0)
-    h3 = blocks.csp(p["h2"], jnp.concatenate((upsample2x(h4), p3), -1), ctx, "fpn/h2", csp0)
+    with jax.named_scope("fpn/h1/up"):   # stage attribution (roofline)
+        u5 = jnp.concatenate((upsample2x(p5), p4), -1)
+    h4 = blocks.csp(p["h1"], u5, ctx, "fpn/h1", csp0)
+    with jax.named_scope("fpn/h2/up"):
+        u4 = jnp.concatenate((upsample2x(h4), p3), -1)
+    h3 = blocks.csp(p["h2"], u4, ctx, "fpn/h2", csp0)
     d3 = conv_bn(p["h3"], h3, ctx, "fpn/h3", stride=2, padding=1)
     h4b = blocks.csp(p["h4"], jnp.concatenate((d3, h4), -1), ctx, "fpn/h4", csp0)
     d4 = conv_bn(p["h5"], h4b, ctx, "fpn/h5", stride=2, padding=1)

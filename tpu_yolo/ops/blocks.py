@@ -48,9 +48,10 @@ def csp(p, x, ctx: Context, path: str, use_csp_module: bool):
 def sppf(p, x, ctx: Context, path: str, k: int = 5):
     """Spatial pyramid pooling - fast (reference SPP, nn.py:83-94)."""
     x = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"))
-    y1 = max_pool(x, k)
-    y2 = max_pool(y1, k)
-    y3 = max_pool(y2, k)
+    with jax.named_scope(sub(path, "pool")):   # stage attribution
+        y1 = max_pool(x, k)
+        y2 = max_pool(y1, k)
+        y3 = max_pool(y2, k)
     return conv_bn(p["conv2"], jnp.concatenate((x, y1, y2, y3), axis=-1), ctx, sub(path, "conv2"))
 
 
@@ -73,19 +74,20 @@ def attention(p, x, ctx: Context, path: str, num_head: int):
 
     from tpu_yolo.ops.attention_pallas import fused_attention, use_pallas_attention
 
-    if not ctx.train and use_pallas_attention():
-        # Fused Pallas path: scores never touch HBM (inference only; the
-        # training path needs XLA's autodiff through the einsums).
-        to_heads = lambda a, d: a.transpose(0, 2, 1, 3).reshape(b * num_head, t, d)
-        out = fused_attention(to_heads(q, dk), to_heads(k, dk),
-                              to_heads(v, dh), dk ** -0.5)
-        out = out.reshape(b, num_head, t, dh).transpose(0, 2, 1, 3)
-    else:
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * (dk ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+    with jax.named_scope(sub(path, "attn")):   # stage attribution
+        if not ctx.train and use_pallas_attention():
+            # Fused Pallas path: scores never touch HBM (inference only;
+            # the training path needs XLA's autodiff through the einsums).
+            to_heads = lambda a, d: a.transpose(0, 2, 1, 3).reshape(b * num_head, t, d)
+            out = fused_attention(to_heads(q, dk), to_heads(k, dk),
+                                  to_heads(v, dh), dk ** -0.5)
+            out = out.reshape(b, num_head, t, dh).transpose(0, 2, 1, 3)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * (dk ** -0.5)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.reshape(b, h, w, c)
     # roofline accounting for the two attention dots (QK^T and AV):
     # 2·b·nh·t²·dk + 2·b·nh·t²·dh FLOPs; bytes = q/k/v reads + out write

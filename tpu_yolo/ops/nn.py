@@ -115,23 +115,28 @@ def conv_bn(p, x, ctx: Context, path: str, *, stride: int = 1, padding=0,
         by s_in*s_w -> +bias; the q/dq elementwise ops fuse into
         neighbors so only the conv itself runs int8.
     """
+    # named_scope is trace-time metadata only: it tags the lowered HLO
+    # (and thus profiler events) of the conv AND its BN/activation with
+    # the param-tree path so a trace can be aggregated per stage
+    # (tools/roofline.py --profile).
+    with jax.named_scope(path):
+        return _conv_bn(p, x, ctx, path, stride=stride, padding=padding,
+                        groups=groups, act=act)
+
+
+def _conv_bn(p, x, ctx: Context, path: str, *, stride, padding, groups, act):
     if "w_q" in p:
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / p["s_in"]),
                       -127, 127).astype(jnp.int8)
-        with jax.named_scope(path):
-            y = conv2d(xq, p["w_q"], stride=stride, padding=padding,
-                       groups=groups, preferred_element_type=jnp.int32)
+        y = conv2d(xq, p["w_q"], stride=stride, padding=padding,
+                   groups=groups, preferred_element_type=jnp.int32)
         ctx.note_conv(path, xq, p["w_q"], y, stride, groups)
         y = y.astype(jnp.float32) * (p["s_in"] * p["s_w"]) + p["b"]
         return act(y).astype(x.dtype)
 
     ctx.observe(path, x)
     w = p["w"].astype(x.dtype)
-    # named_scope is trace-time metadata only: it tags the lowered HLO
-    # (and thus profiler events) with the param-tree path so a trace can
-    # be aggregated per stage (tools/roofline.py --profile).
-    with jax.named_scope(path):
-        y = conv2d(x, w, stride=stride, padding=padding, groups=groups)
+    y = conv2d(x, w, stride=stride, padding=padding, groups=groups)
     ctx.note_conv(path, x, w, y, stride, groups)
 
     if "b" in p:
