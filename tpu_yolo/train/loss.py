@@ -69,11 +69,12 @@ def build_padded_targets(targets: dict, batch_size: int, max_gt: int,
 ASSIGN_ELEM_BUDGET = 160 * 1024 * 1024
 
 
-def _topk_indices_by_argmax(x, k: int):
-    """Indices of the k largest entries along the last axis, in
-    descending value order (ties -> lower index), as lax.top_k returns
-    them — computed as k argmax+mask passes, which XLA executes as cheap
-    reduce-maxes instead of the full sort it lowers top_k to."""
+def _topk_mask_by_argmax(x, k: int):
+    """Bool mask of the k largest entries along the last axis (ties ->
+    lower index, as lax.top_k breaks them) — computed as k argmax+mask
+    passes, which XLA executes as cheap reduce-maxes instead of the
+    full sort it lowers top_k to. The selected set IS the scan's ban
+    carry, so no index materialization/scatter is needed."""
     def body(ban, _):
         # carry a bool ban-mask (1 byte/elem) instead of rewriting the
         # f32 values each pass: the where fuses into the argmax reduce,
@@ -82,10 +83,10 @@ def _topk_indices_by_argmax(x, k: int):
         # 2026-08-17, the scan was ~24 ms/step at bs128)
         idx = jnp.argmax(jnp.where(ban, -jnp.inf, x), axis=-1)
         hit = jax.nn.one_hot(idx, x.shape[-1], dtype=bool)
-        return ban | hit, idx
+        return ban | hit, None
 
-    _, idxs = jax.lax.scan(body, jnp.zeros(x.shape, bool), None, length=k)
-    return jnp.moveaxis(idxs, 0, -1)
+    ban, _ = jax.lax.scan(body, jnp.zeros(x.shape, bool), None, length=k)
+    return ban
 
 
 def task_aligned_assigner(pd_scores, pd_bboxes, anchors_px, gt_labels,
@@ -145,21 +146,29 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anchors_px, gt_labels,
 
     align = (bbox_scores ** alpha) * (overlaps ** beta)       # (B, N, A)
 
-    # top-k anchors per gt; padded rows collapse onto index 0 and are
-    # zeroed by the duplicate-count rule. Selection is k iterated
-    # argmax+mask passes rather than jax.lax.top_k: XLA lowers top_k to
-    # a full O(A log A) sort that measured 36.5 ms/step at bs64 (the
-    # single most expensive op in the train step, profiler trace
-    # 2026-08-16); k reduce-max passes are ~10x cheaper and bit-identical
-    # (argmax and top_k both break ties toward the lower index).
-    topk_idx = _topk_indices_by_argmax(align, top_k)          # (B, N, K)
-    topk_valid = jnp.broadcast_to(mask_gt > 0, topk_idx.shape)
-    topk_idx = jnp.where(topk_valid, topk_idx, 0)
-
-    bi = jnp.arange(b)[:, None, None]
-    ni = jnp.arange(n)[None, :, None]
-    counts = jnp.zeros((b, n, a), jnp.int32).at[bi, ni, topk_idx].add(1)
-    mask_topk = jnp.where(counts > 1, 0, counts).astype(align.dtype)
+    # top-k anchors per gt. Selection is k iterated argmax+mask passes
+    # rather than jax.lax.top_k: XLA lowers top_k to a full O(A log A)
+    # sort that measured 36.5 ms/step at bs64 (the single most
+    # expensive op in the train step, profiler trace 2026-08-16); k
+    # reduce-max passes are ~10x cheaper and bit-identical (argmax and
+    # top_k both break ties toward the lower index).
+    #
+    # The reference's duplicate-count rule (util.py:682-696: scatter
+    # the k indices, zero counts > 1) reduces to masking the scan's own
+    # ban carry by row validity: for a real GT row the k picks are
+    # necessarily DISTINCT (picked entries are banned to -inf and
+    # A > k), so every count is exactly 1 and the count==1 set IS the
+    # ban mask; for a padded row the reference quirk forces all k
+    # indices to 0, making count==k>1 at anchor 0 and 0 elsewhere —
+    # an all-zero row, i.e. exactly `& mask_gt`. Replacing the
+    # (B, N, A) s32 scatter+compare with the carry reuse therefore
+    # selects the identical mask (loss goldens + 4-step trajectory pin
+    # this; scalar loss sums can still drift in the last ulps because
+    # the new program fuses/reassociates reductions differently) and
+    # deletes a full-plane materialization: interleaved A/B 1,023 vs
+    # 1,012 img/s at bs128 (+1.1%, 2026-08-18).
+    mask_topk = (_topk_mask_by_argmax(align, top_k)
+                 & (mask_gt > 0)).astype(align.dtype)
 
     mask_pos = mask_topk * mask_in_gts.astype(align.dtype) * mask_gt  # (B, N, A)
 
