@@ -36,3 +36,41 @@ def test_q_block_divides():
     for t in (100, 400, 900, 1600, 2500, 16, 8, 24):
         bq = _pick_q_block(t)
         assert t % bq == 0 and bq <= t
+
+
+class TestTopkMask:
+    """ops/topk_pallas.py vs the XLA scan formulation (bit-identical
+    selection is the contract — the TAL assigner is golden-pinned)."""
+
+    def _scan_mask(self, x, k):
+        from tpu_yolo.train.loss import _topk_mask_by_argmax
+        return _topk_mask_by_argmax(x, k)
+
+    @pytest.mark.parametrize("b,n,a", [(2, 5, 300), (3, 64, 840), (1, 8, 57)])
+    def test_matches_scan_random(self, b, n, a):
+        from tpu_yolo.ops.topk_pallas import topk_mask
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((b, n, a)), jnp.float32)
+        got = topk_mask(x, 10, interpret=True)
+        want = self._scan_mask(x, 10)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_matches_scan_with_ties(self):
+        """Quantized values force many exact ties; the tie-break
+        (lower index first) must match argmax exactly. Also covers the
+        padded-GT-row shape: all-zero rows select anchors 0..k-1."""
+        from tpu_yolo.ops.topk_pallas import topk_mask
+        rng = np.random.default_rng(1)
+        x = np.round(rng.random((2, 7, 120)) * 4) / 4
+        x[:, -2:] = 0.0                      # padded-row analogue
+        x = jnp.asarray(x, jnp.float32)
+        got = topk_mask(x, 10, interpret=True)
+        want = self._scan_mask(x, 10)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert np.asarray(got)[:, -1, :10].all()
+
+    def test_row_block_bounds(self):
+        from tpu_yolo.ops.topk_pallas import _row_block
+        for n, a in [(64, 8400), (512, 8400), (3, 300), (64, 25200)]:
+            bn = _row_block(n, a)
+            assert 1 <= bn <= n

@@ -167,8 +167,15 @@ def task_aligned_assigner(pd_scores, pd_bboxes, anchors_px, gt_labels,
     # the new program fuses/reassociates reductions differently) and
     # deletes a full-plane materialization: interleaved A/B 1,023 vs
     # 1,012 img/s at bs128 (+1.1%, 2026-08-18).
-    mask_topk = (_topk_mask_by_argmax(align, top_k)
-                 & (mask_gt > 0)).astype(align.dtype)
+    from tpu_yolo.ops.topk_pallas import topk_mask, use_pallas_topk
+    if use_pallas_topk():
+        # One-read fused kernel: identical selection (comparisons only,
+        # argmax tie-break reproduced exactly), ~k x less HBM traffic
+        # than the scan (ops/topk_pallas.py).
+        selected = topk_mask(align, top_k)
+    else:
+        selected = _topk_mask_by_argmax(align, top_k)
+    mask_topk = (selected & (mask_gt > 0)).astype(align.dtype)
 
     mask_pos = mask_topk * mask_in_gts.astype(align.dtype) * mask_gt  # (B, N, A)
 
