@@ -264,10 +264,17 @@ def detection_loss(raw_maps, gt, hyp: dict, cfg: ModelConfig):
     # measured to destabilize training (toy SPMD run diverges 16 → 74
     # in 5 steps; BENCH.md round-3 note). A shared cast keeps that
     # cotangent sum in f32 (1,005 vs 1,018 img/s, the stability price).
-    flat = jnp.concatenate([m.reshape(bsz, -1, cfg.no) for m in raw_maps], axis=1)
-    pred_dist, pred_cls = jnp.split(flat, (4 * reg,), axis=-1)
-    pred_cls = pred_cls.astype(jnp.float32)
-    pred_dist = pred_dist.astype(jnp.float32)
+    # Slice each level BEFORE concatenating: the single (B, A, 144)
+    # bf16 `flat` intermediate forced per-level layout-copy pairs
+    # around its concat (profiled ~7.5 ms for concat+split+casts at
+    # bs128); per-half concats let XLA fuse reshape+slice+cast into
+    # the two f32 writes the loss needs anyway.
+    levels = [m.reshape(bsz, -1, cfg.no) for m in raw_maps]
+    nd = 4 * reg
+    pred_dist = jnp.concatenate([m[..., :nd] for m in levels],
+                                axis=1).astype(jnp.float32)
+    pred_cls = jnp.concatenate([m[..., nd:] for m in levels],
+                               axis=1).astype(jnp.float32)
 
     anchors, stride_t = make_anchors(input_hw, cfg.strides)
     anchors = jnp.asarray(anchors)                            # (A, 2) grid units
