@@ -88,8 +88,13 @@ def fused_attention(q, k, v, scale: float, interpret: bool = False):
 
 
 def use_pallas_attention() -> bool:
-    """Fused kernel only on TPU backends (allowlist: a GPU or other
-    backend must fall back to the XLA einsum path rather than crash in
-    pltpu); CPU tests and the differentiable training path use the XLA
-    einsum formulation. The axon relay reports backend=="tpu"."""
-    return jax.default_backend() == "tpu"
+    """Fused kernel only on single-device TPU programs (allowlist: a
+    GPU or other backend must fall back to the XLA einsum path rather
+    than crash in pltpu); CPU tests and the differentiable training
+    path use the XLA einsum formulation. The axon relay reports
+    backend=="tpu". Multi-device programs also fall back: pallas_call
+    lowers to a custom call with no SPMD partitioning rule, so a pjit
+    data-parallel forward over >1 chip would replicate the operands
+    (all-gather) or reject the program (same gate as
+    topk_pallas.use_pallas_topk)."""
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1

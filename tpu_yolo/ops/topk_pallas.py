@@ -94,7 +94,13 @@ def topk_mask(x, k: int, interpret: bool = False):
 
 
 def use_pallas_topk() -> bool:
-    """Compiled kernel only on TPU backends (same allowlist rationale
-    as attention_pallas.use_pallas_attention); CPU tests and any other
-    backend use the XLA scan formulation."""
-    return jax.default_backend() == "tpu"
+    """Compiled kernel only on single-device TPU programs (same
+    allowlist rationale as attention_pallas.use_pallas_attention, plus
+    a pjit constraint): CPU tests and any other backend use the XLA
+    scan, and a multi-chip mesh must too — pallas_call lowers to a
+    custom call with no SPMD partitioning rule, so inside a pjit
+    program over >1 device the partitioner would replicate its
+    operands (an all-gather of the (B, N, A) metric) or reject the
+    program outright. Single chip is where the serving/train bench
+    path runs; the pod-scale train step keeps the scan formulation."""
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
