@@ -11,7 +11,7 @@ Usage:
   python tools/infer_bench.py [--batch 128] [--size 640] [--model n]
       [--iters 20] [--repeats 3] [--profile DIR] [--max-nms K]
       [--ranking exact|approx] [--recall R] [--pregate|--no-pregate]
-      [--s2d|--s2d-host] [--latency] [--check-pregate]
+      [--s2d|--s2d-host] [--latency] [--latency-batch N] [--check-pregate]
 """
 from __future__ import annotations
 
@@ -27,9 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_latency(args, cfg, params):
-    """bs=1 p50 via the production Detector program (serve._predict at
-    serving conf 0.25), minus the measured per-dispatch tunnel RTT —
-    bench.py's method, distinct inputs per call (relay elision)."""
+    """Small-batch p50 via the production Detector program
+    (serve._predict at serving conf 0.25), minus the measured
+    per-dispatch tunnel RTT — bench.py's method, distinct inputs per
+    call (relay elision). --latency-batch sets the micro-batch (default
+    1); per-image amortization = p50_device_est / batch."""
     import functools
     import time
 
@@ -52,9 +54,10 @@ def run_latency(args, cfg, params):
                              ranking="approx", max_nms=k,
                              approx_recall=recall)
 
+    lb = max(1, args.latency_batch)
     rng = np.random.default_rng(0)
     ones = [jax.device_put(rng.integers(
-        0, 256, (1, args.size, args.size, 3), np.uint8)) for _ in range(8)]
+        0, 256, (lb, args.size, args.size, 3), np.uint8)) for _ in range(8)]
     jax.block_until_ready(step(p, ones[0]))
     jax.block_until_ready(step(p, ones[1]))
     lat = []
@@ -75,14 +78,21 @@ def run_latency(args, cfg, params):
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtt) * 1e3)
 
-    print(json.dumps({
+    out = {
         "p50_latency_ms_bs1": round(p50, 2),
         "dispatch_rtt_ms": round(rtt_ms, 2),
         "p50_device_ms_bs1_est": round(p50 - rtt_ms, 2),
         "max_nms": k, "approx_recall": recall,
         "size": args.size, "model": args.model,
         "platform": str(jax.devices()[0].platform),
-    }))
+    }
+    if lb > 1:
+        out["latency_batch"] = lb
+        out["p50_device_ms_per_img_est"] = round((p50 - rtt_ms) / lb, 2)
+        # honest key names at micro-batch sizes
+        out["p50_latency_ms"] = out.pop("p50_latency_ms_bs1")
+        out["p50_device_ms_est"] = out.pop("p50_device_ms_bs1_est")
+    print(json.dumps(out))
 
 
 def check_pregate(args, cfg, params):
@@ -168,9 +178,13 @@ def main():
         "--pregate", action="store_true",
         help="force the per-anchor candidate pre-gate on")
     ap.add_argument("--latency", action="store_true",
-                    help="bs=1 p50 latency of the production serving "
-                         "program (serve._predict, conf 0.25) with "
-                         "dispatch-RTT subtraction (bench.py's method)")
+                    help="small-batch p50 latency of the production "
+                         "serving program (serve._predict, conf 0.25) "
+                         "with dispatch-RTT subtraction (bench.py's "
+                         "method)")
+    ap.add_argument("--latency-batch", type=int, default=1,
+                    help="micro-batch for --latency (default 1; >1 "
+                         "reports per-image amortization too)")
     ap.add_argument("--check-pregate", action="store_true",
                     help="bit-parity assertion on THIS backend: run the "
                          "exact-ranking tail with pregate forced on and "
