@@ -146,7 +146,8 @@ def test_grad_accumulation_equivalence():
 
 
 def test_remat_train_step_matches():
-    """remat=True computes identical losses/updates to remat=False."""
+    """remat (per-stage and nested per-block) computes identical
+    losses/updates to remat=False."""
     params = yolov11.init_params(jax.random.PRNGKey(2), TINY)
     rng = np.random.default_rng(2)
     imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3), np.uint8))
@@ -156,18 +157,21 @@ def test_remat_train_step_matches():
     hyp = jnp.asarray([7.5, 0.5, 1.5], jnp.float32)
 
     outs = {}
-    for remat in (False, True):
+    for remat in (False, True, "blocks"):
         state = init_train_state(params, ema=False)
         state, m = train_step(state, imgs, gt, 0.01, hyp, 5e-4, 0.937,
                               cfg=TINY, accumulate=1, apply_update=True,
                               remat=remat, compute_dtype=jnp.float32)
-        outs[remat] = (m, state["params"]["net"]["p1"][0])
-    for k in outs[False][0]:
-        np.testing.assert_allclose(float(outs[False][0][k]),
-                                   float(outs[True][0][k]), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(outs[False][1]["w"]),
-                               np.asarray(outs[True][1]["w"]),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(outs[False][1]["mean"]),
-                               np.asarray(outs[True][1]["mean"]),
-                               rtol=1e-5, atol=1e-7)
+        outs[remat] = (m, state["params"])
+    ref_leaves, treedef = jax.tree_util.tree_flatten(outs[False][1])
+    for level in (True, "blocks"):
+        for k in outs[False][0]:
+            np.testing.assert_allclose(float(outs[False][0][k]),
+                                       float(outs[level][0][k]), rtol=1e-5)
+        # every updated weight AND every BN running stat (incl. the ones
+        # produced inside nested per-block remat regions) must match
+        leaves = treedef.flatten_up_to(outs[level][1])
+        assert len(leaves) == len(ref_leaves)
+        for a, b in zip(ref_leaves, leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

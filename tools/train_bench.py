@@ -58,6 +58,8 @@ def main():
                          "interference on the shared relay measured up to "
                          "~8%% - BENCH.md environment notes)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-level", default="stage",
+                    choices=("stage", "blocks"))
     ap.add_argument("--profile", default=None,
                     help="dump a jax.profiler trace to this dir")
     args = ap.parse_args()
@@ -82,8 +84,8 @@ def main():
     pool = [(jax.device_put(i), jax.device_put(g)) for i, g in pool]
 
     hyp_gains = jnp.asarray([7.5, 0.5, 1.5], jnp.float32)
-    step_kw = dict(cfg=cfg, accumulate=1, apply_update=True,
-                   remat=args.remat)
+    remat = args.remat and args.remat_level
+    step_kw = dict(cfg=cfg, accumulate=1, apply_update=True, remat=remat)
 
     for i in range(args.warmup):
         images, gt = pool[i % len(pool)]
@@ -109,7 +111,8 @@ def main():
 
     print(json.dumps({
         "metric": f"train_step_v11{args.model}_{args.size}_bs{args.batch}"
-                  f"_gt{args.gt}" + ("_remat" if args.remat else ""),
+                  f"_gt{args.gt}"
+                  + (f"_remat_{args.remat_level}" if args.remat else ""),
         "img_per_s": round(args.batch * args.iters / dt, 1),
         "ms_per_step": round(dt / args.iters * 1e3, 1),
         "losses": {k: round(float(v), 3) for k, v in metrics.items()},

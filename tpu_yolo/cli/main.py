@@ -68,6 +68,12 @@ def parse_args():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in backward (less "
                         "activation memory, ~1/3 more FLOPs)")
+    p.add_argument("--remat-level", default="stage",
+                   choices=("stage", "blocks"),
+                   help="with --remat: checkpoint granularity — per "
+                        "model stage (default), or additionally per "
+                        "CSP/PSA inner block (lowest peak memory, "
+                        "interiors recompute twice)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     return p.parse_args()

@@ -24,7 +24,8 @@ from tpu_yolo.core.config import ModelConfig
 from tpu_yolo.ops import blocks
 from tpu_yolo.ops.anchors import make_anchors
 from tpu_yolo.ops.boxes import dfl_decode
-from tpu_yolo.ops.nn import Context, conv_bn, identity, sub, upsample2x
+from tpu_yolo.ops.nn import (Context, ckpt_region, conv_bn, identity, sub,
+                             upsample2x)
 
 # ---------------------------------------------------------------------------
 # Initialization (torch-default kaiming-uniform so training matches the
@@ -198,80 +199,147 @@ def _space_to_depth2(x):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
 
 
-def _backbone(p, x, ctx, cfg: ModelConfig):
+def _remat_flags(remat):
+    """Normalize a remat spec to (wrap_stages, wrap_inner_blocks).
+
+    False -> no checkpointing; True/"stage" -> per-stage regions;
+    "blocks" -> per-stage regions PLUS nested per-inner-block regions
+    inside CSP/PSA (lowest peak memory, interiors recompute twice).
+    """
+    if not remat:
+        return False, False
+    return True, remat == "blocks"
+
+
+def _backbone(p, x, ctx, cfg: ModelConfig, remat=False):
     csp0, csp1 = cfg.csp
-    c = lambda pp, xx, path, **kw: conv_bn(pp, xx, ctx, path, **kw)
+    stage_ckpt, inner = _remat_flags(remat)
 
-    stem_w = p["p1"][0].get("w", p["p1"][0].get("w_q"))
-    if stem_w.shape[0] == 2 and stem_w.shape[2] == 4 * cfg.width[0]:
-        # space-to-depth stem (fold_stem_space_to_depth): mathematically
-        # identical to the 3x3/s2 conv, but the conv runs stride-1 on a
-        # (H/2, W/2, 4C) layout that tiles far better on the MXU at the
-        # network's 3-channel input. If the input already arrives in s2d
-        # layout (host/native-loader staging ships the same bytes
-        # permuted — no on-device transpose pass), use it directly.
-        if x.shape[-1] != 4 * cfg.width[0]:
-            x = _space_to_depth2(x)
-        x = c(p["p1"][0], x, "net/p1/0", padding=((1, 0), (1, 0)))
-    else:
-        x = c(p["p1"][0], x, "net/p1/0", stride=2, padding=1)
+    def s1(pp, xx, c):
+        stem_w = pp[0].get("w", pp[0].get("w_q"))
+        if stem_w.shape[0] == 2 and stem_w.shape[2] == 4 * cfg.width[0]:
+            # space-to-depth stem (fold_stem_space_to_depth):
+            # mathematically identical to the 3x3/s2 conv, but the conv
+            # runs stride-1 on a (H/2, W/2, 4C) layout that tiles far
+            # better on the MXU at the network's 3-channel input. If the
+            # input already arrives in s2d layout (host/native-loader
+            # staging ships the same bytes permuted — no on-device
+            # transpose pass), use it directly.
+            if xx.shape[-1] != 4 * cfg.width[0]:
+                xx = _space_to_depth2(xx)
+            return conv_bn(pp[0], xx, c, "net/p1/0", padding=((1, 0), (1, 0)))
+        return conv_bn(pp[0], xx, c, "net/p1/0", stride=2, padding=1)
 
-    x = c(p["p2"][0], x, "net/p2/0", stride=2, padding=1)
-    x = blocks.csp(p["p2"][1], x, ctx, "net/p2/1", csp0)
+    def s2(pp, xx, c):
+        xx = conv_bn(pp[0], xx, c, "net/p2/0", stride=2, padding=1)
+        return blocks.csp(pp[1], xx, c, "net/p2/1", csp0, remat=inner)
 
-    x = c(p["p3"][0], x, "net/p3/0", stride=2, padding=1)
-    p3 = blocks.csp(p["p3"][1], x, ctx, "net/p3/1", csp0)
+    def s3(pp, xx, c):
+        xx = conv_bn(pp[0], xx, c, "net/p3/0", stride=2, padding=1)
+        return blocks.csp(pp[1], xx, c, "net/p3/1", csp0, remat=inner)
 
-    x = c(p["p4"][0], p3, "net/p4/0", stride=2, padding=1)
-    p4 = blocks.csp(p["p4"][1], x, ctx, "net/p4/1", csp1)
+    def s4(pp, xx, c):
+        xx = conv_bn(pp[0], xx, c, "net/p4/0", stride=2, padding=1)
+        return blocks.csp(pp[1], xx, c, "net/p4/1", csp1, remat=inner)
 
-    x = c(p["p5"][0], p4, "net/p5/0", stride=2, padding=1)
-    x = blocks.csp(p["p5"][1], x, ctx, "net/p5/1", csp1)
-    x = blocks.sppf(p["p5"][2], x, ctx, "net/p5/2")
-    p5 = blocks.psa(p["p5"][3], x, ctx, "net/p5/3", max(cfg.width[5] // 128, 1))
+    def s5(pp, xx, c):
+        xx = conv_bn(pp[0], xx, c, "net/p5/0", stride=2, padding=1)
+        xx = blocks.csp(pp[1], xx, c, "net/p5/1", csp1, remat=inner)
+        xx = blocks.sppf(pp[2], xx, c, "net/p5/2")
+        return blocks.psa(pp[3], xx, c, "net/p5/3",
+                          max(cfg.width[5] // 128, 1), remat=inner)
 
+    run = ckpt_region if stage_ckpt else (lambda f, pp, aa, c: f(pp, aa, c))
+    x = run(s1, p["p1"], x, ctx)
+    x = run(s2, p["p2"], x, ctx)
+    p3 = run(s3, p["p3"], x, ctx)
+    p4 = run(s4, p["p4"], p3, ctx)
+    p5 = run(s5, p["p5"], p4, ctx)
     return p3, p4, p5
 
 
-def _fpn(p, feats, ctx, cfg: ModelConfig):
+def _fpn(p, feats, ctx, cfg: ModelConfig, remat=False):
     csp0, csp1 = cfg.csp
+    stage_ckpt, inner = _remat_flags(remat)
+
+    def top_down(pp, ff, c):
+        p3, p4, p5 = ff
+        with jax.named_scope("fpn/h1/up"):   # stage attribution (roofline)
+            u5 = jnp.concatenate((upsample2x(p5), p4), -1)
+        h4 = blocks.csp(pp["h1"], u5, c, "fpn/h1", csp0, remat=inner)
+        with jax.named_scope("fpn/h2/up"):
+            u4 = jnp.concatenate((upsample2x(h4), p3), -1)
+        h3 = blocks.csp(pp["h2"], u4, c, "fpn/h2", csp0, remat=inner)
+        return h3, h4
+
+    def bottom_up(pp, ff, c):
+        h3, h4, p5 = ff
+        d3 = conv_bn(pp["h3"], h3, c, "fpn/h3", stride=2, padding=1)
+        h4b = blocks.csp(pp["h4"], jnp.concatenate((d3, h4), -1), c,
+                         "fpn/h4", csp0, remat=inner)
+        d4 = conv_bn(pp["h5"], h4b, c, "fpn/h5", stride=2, padding=1)
+        h5b = blocks.csp(pp["h6"], jnp.concatenate((d4, p5), -1), c,
+                         "fpn/h6", csp1, remat=inner)
+        return h4b, h5b
+
+    run = ckpt_region if stage_ckpt else (lambda f, pp, aa, c: f(pp, aa, c))
     p3, p4, p5 = feats
-    with jax.named_scope("fpn/h1/up"):   # stage attribution (roofline)
-        u5 = jnp.concatenate((upsample2x(p5), p4), -1)
-    h4 = blocks.csp(p["h1"], u5, ctx, "fpn/h1", csp0)
-    with jax.named_scope("fpn/h2/up"):
-        u4 = jnp.concatenate((upsample2x(h4), p3), -1)
-    h3 = blocks.csp(p["h2"], u4, ctx, "fpn/h2", csp0)
-    d3 = conv_bn(p["h3"], h3, ctx, "fpn/h3", stride=2, padding=1)
-    h4b = blocks.csp(p["h4"], jnp.concatenate((d3, h4), -1), ctx, "fpn/h4", csp0)
-    d4 = conv_bn(p["h5"], h4b, ctx, "fpn/h5", stride=2, padding=1)
-    h5b = blocks.csp(p["h6"], jnp.concatenate((d4, p5), -1), ctx, "fpn/h6", csp1)
+    h3, h4 = run(top_down, p, (p3, p4, p5), ctx)
+    h4b, h5b = run(bottom_up, p, (h3, h4, p5), ctx)
     return h3, h4b, h5b
 
 
-def _head(p, feats, ctx, cfg: ModelConfig):
+def _head(p, feats, ctx, cfg: ModelConfig, remat=False):
+    def level(pp, xx, c, i):
+        bp, cp = pp
+        b = conv_bn(bp[0], xx, c, sub("head/box", i, 0), padding=1)
+        b = conv_bn(bp[1], b, c, sub("head/box", i, 1), padding=1)
+        b = conv_bn(bp[2], b, c, sub("head/box", i, 2), act=identity)
+        g = xx.shape[-1]
+        cc = conv_bn(cp[0], xx, c, sub("head/cls", i, 0), padding=1, groups=g)
+        cc = conv_bn(cp[1], cc, c, sub("head/cls", i, 1))
+        cc = conv_bn(cp[2], cc, c, sub("head/cls", i, 2), padding=1,
+                     groups=cc.shape[-1])
+        cc = conv_bn(cp[3], cc, c, sub("head/cls", i, 3))
+        cc = conv_bn(cp[4], cc, c, sub("head/cls", i, 4), act=identity)
+        return jnp.concatenate((b, cc), axis=-1)
+
+    stage_ckpt, _ = _remat_flags(remat)
+    run = ckpt_region if stage_ckpt else (lambda f, pp, aa, c: f(pp, aa, c))
     outs = []
     for i, x in enumerate(feats):
-        bp, cp = p["box"][i], p["cls"][i]
-        b = conv_bn(bp[0], x, ctx, sub("head/box", i, 0), padding=1)
-        b = conv_bn(bp[1], b, ctx, sub("head/box", i, 1), padding=1)
-        b = conv_bn(bp[2], b, ctx, sub("head/box", i, 2), act=identity)
-        g = x.shape[-1]
-        c = conv_bn(cp[0], x, ctx, sub("head/cls", i, 0), padding=1, groups=g)
-        c = conv_bn(cp[1], c, ctx, sub("head/cls", i, 1))
-        c = conv_bn(cp[2], c, ctx, sub("head/cls", i, 2), padding=1, groups=c.shape[-1])
-        c = conv_bn(cp[3], c, ctx, sub("head/cls", i, 3))
-        c = conv_bn(cp[4], c, ctx, sub("head/cls", i, 4), act=identity)
-        outs.append(jnp.concatenate((b, c), axis=-1))
+        fn = lambda pp, aa, c, _i=i: level(pp, aa, c, _i)
+        outs.append(run(fn, (p["box"][i], p["cls"][i]), x, ctx))
     return outs
 
 
-def forward_raw(params, x, cfg: ModelConfig, ctx: Context | None = None):
-    """Full graph -> list of 3 NHWC maps (B, H/s, W/s, 4*reg_max + nc)."""
+def forward_raw(params, x, cfg: ModelConfig, ctx: Context | None = None,
+                remat=False):
+    """Full graph -> list of 3 NHWC maps (B, H/s, W/s, 4*reg_max + nc).
+
+    remat=True (or "stage") checkpoints the graph PER STAGE (5 backbone
+    stages, 2 FPN halves, 3 head levels): the forward saves only
+    stage-boundary activations and the backward recomputes each stage's
+    interior (~1 extra forward of FLOPs). remat="blocks" additionally
+    nests a checkpoint region around every CSP inner block and PSA
+    block, bounding the stage recompute's own liveness — lowest peak
+    memory, interiors recompute twice. A single whole-forward
+    jax.checkpoint is near-useless here — during the backward its
+    recompute re-materializes every residual of the region at once, so
+    peak HBM barely drops (measured: v11-l @1280 bs32 needs 24.94 GB
+    plain and still 23.53 GB with whole-forward remat — BENCH.md round
+    4). The reference has no remat; the torch equivalent would be
+    torch.utils.checkpoint per stage/block.
+    Calibration/roofline Contexts (calibrate/convs) are forward-only
+    analyses with no gradient memory to save; remat is ignored for them
+    so their trace-time side channels stay intact.
+    """
     ctx = ctx or Context(train=False)
-    feats = _backbone(params["net"], x, ctx, cfg)
-    feats = _fpn(params["fpn"], feats, ctx, cfg)
-    return _head(params["head"], feats, ctx, cfg)
+    if ctx.calibrate or ctx.convs is not None:
+        remat = False
+    feats = _backbone(params["net"], x, ctx, cfg, remat)
+    feats = _fpn(params["fpn"], feats, ctx, cfg, remat)
+    return _head(params["head"], feats, ctx, cfg, remat)
 
 
 def decode_predictions(raw_maps, cfg: ModelConfig, input_hw):

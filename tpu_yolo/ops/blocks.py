@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tpu_yolo.ops.nn import Context, conv_bn, identity, max_pool, sub
+from tpu_yolo.ops.nn import Context, ckpt_region, conv_bn, identity, max_pool, sub
 
 
 def residual(p, x, ctx: Context, path: str):
@@ -29,19 +29,24 @@ def csp_module(p, x, ctx: Context, path: str):
     return conv_bn(p["conv3"], jnp.concatenate((y, z), axis=-1), ctx, sub(path, "conv3"))
 
 
-def csp(p, x, ctx: Context, path: str, use_csp_module: bool):
+def csp(p, x, ctx: Context, path: str, use_csp_module: bool,
+        remat: bool = False):
     """C3k2-style CSP stage (reference CSP, nn.py:66-80).
 
     conv1 -> split 2 -> n chained inner blocks on the tail -> concat(2+n)
-    -> conv2.
+    -> conv2. remat=True checkpoints each inner block (the CSP interior
+    is the bulk of a backbone stage's activation memory — see
+    yolov11.forward_raw remat="blocks").
     """
     y = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"))
     parts = list(jnp.split(y, 2, axis=-1))
+    inner = csp_module if use_csp_module else residual
     for i, mp in enumerate(p["m"]):
-        if use_csp_module:
-            parts.append(csp_module(mp, parts[-1], ctx, sub(path, "m", i)))
+        if remat:
+            fn = lambda pp, aa, c, _pth=sub(path, "m", i): inner(pp, aa, c, _pth)
+            parts.append(ckpt_region(fn, mp, parts[-1], ctx))
         else:
-            parts.append(residual(mp, parts[-1], ctx, sub(path, "m", i)))
+            parts.append(inner(mp, parts[-1], ctx, sub(path, "m", i)))
     return conv_bn(p["conv2"], jnp.concatenate(parts, axis=-1), ctx, sub(path, "conv2"))
 
 
@@ -111,11 +116,19 @@ def psa_block(p, x, ctx: Context, path: str, num_head: int):
     return x + y
 
 
-def psa(p, x, ctx: Context, path: str, num_head: int):
+def psa(p, x, ctx: Context, path: str, num_head: int,
+        remat: bool = False):
     """Partial self-attention wrapper (reference PSA, nn.py:139-148):
-    split channels, attend on half, concat, project."""
+    split channels, attend on half, concat, project. remat=True
+    checkpoints each PSA block (the train-path attention materializes
+    its (B, heads, hw, hw) score maps)."""
     y = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"))
     a, bperm = jnp.split(y, 2, axis=-1)
     for i, bp in enumerate(p["m"]):
-        bperm = psa_block(bp, bperm, ctx, sub(path, "m", i), num_head)
+        if remat:
+            fn = lambda pp, aa, c, _pth=sub(path, "m", i): psa_block(
+                pp, aa, c, _pth, num_head)
+            bperm = ckpt_region(fn, bp, bperm, ctx)
+        else:
+            bperm = psa_block(bp, bperm, ctx, sub(path, "m", i), num_head)
     return conv_bn(p["conv2"], jnp.concatenate((a, bperm), axis=-1), ctx, sub(path, "conv2"))

@@ -192,6 +192,29 @@ def upsample2x(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def ckpt_region(fn, p, args, ctx):
+    """Run `fn(p, args, ctx)` under `jax.checkpoint`, saving only its
+    boundary activations (the backward recomputes the region interior).
+
+    BN batch-stat updates must be routed through the checkpointed
+    function's OUTPUTS — a `Context` mutated by the closure would leak
+    tracers out of the remat region — so the region gets a fresh
+    Context and returns its `updates` dict, merged into the caller's.
+    Regions nest: an inner region checkpointed inside an outer one
+    bounds the outer region's backward-recompute liveness at the cost
+    of recomputing the inner interior twice.
+    """
+    @jax.checkpoint
+    def run(pp, aa):
+        c = Context(train=ctx.train)
+        out = fn(pp, aa, c)
+        return out, c.updates
+
+    out, ups = run(p, args)
+    ctx.updates.update(ups)
+    return out
+
+
 def apply_stat_updates(params, updates: dict):
     """Write collected BN running-stat updates back into the param pytree."""
     for path, new in updates.items():

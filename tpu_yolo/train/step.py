@@ -116,22 +116,25 @@ def train_step(state, images, gt, lr, hyp_gains, wd, momentum, *,
       accumulate/apply_update: grad-accumulation window and whether this
         call performs the parameter update (host decides by step index,
         reference main.py:158).
-      remat: rematerialize the forward pass in the backward (jax
-        .checkpoint) — ~1/3 more FLOPs for a large activation-memory cut;
-        enables bigger models/batches per chip. BN-stat updates are
-        routed through the checkpointed function's outputs (a traced
-        side-channel escaping a remat region would leak tracers).
+      remat: rematerialize the forward per stage in the backward
+        (jax.checkpoint around each backbone stage / FPN half / head
+        level — yolov11.forward_raw(remat=True)) — ~1/3 more FLOPs for
+        a large activation-memory cut; unlocks models/batches/input
+        sizes whose plain compile exceeds HBM. Per-stage beats one
+        whole-forward checkpoint, whose backward recompute
+        re-materializes every residual at once (BENCH.md round 4).
+        BN-stat updates are routed through each checkpointed stage's
+        outputs (a traced side-channel escaping a remat region would
+        leak tracers).
     """
     params = _copy_tree(state["params"])
     x = images.astype(compute_dtype) / compute_dtype(255)
     global_bs = images.shape[0]
 
-    def fwd_fn(p, xx):
+    def fwd(p, xx):
         ctx = Context(train=True)
-        raw = yolov11.forward_raw(p, xx, cfg, ctx)
+        raw = yolov11.forward_raw(p, xx, cfg, ctx, remat=remat)
         return raw, ctx.updates
-
-    fwd = jax.checkpoint(fwd_fn) if remat else fwd_fn
 
     def loss_fn(p):
         raw, bn_updates = fwd(p, x)

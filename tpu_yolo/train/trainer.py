@@ -289,11 +289,12 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
                     targets, local_bs, bucket,
                     (args.input_size, args.input_size))
 
+                remat = getattr(args, "remat", False) and getattr(
+                    args, "remat_level", "stage")
                 state, metrics = train_step(
                     state, images_dev, put(gt), lr, hyp_gains, wd,
                     hyp["momentum"], cfg=cfg, accumulate=accumulate,
-                    apply_update=apply_update,
-                    remat=getattr(args, "remat", False))
+                    apply_update=apply_update, remat=remat)
 
                 bs = local_bs
                 for k, v in (("box", metrics["loss_box"]),
