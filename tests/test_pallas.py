@@ -74,3 +74,59 @@ class TestTopkMask:
         for n, a in [(64, 8400), (512, 8400), (3, 300), (64, 25200)]:
             bn = _row_block(n, a)
             assert 1 <= bn <= n
+
+
+class TestGreedyKeepPallas:
+    """ops/nms_pallas.py vs the XLA fixpoint (ops/nms.py::_greedy_keep).
+    Bit-identical keep sets are the contract — NMS is box-exact
+    golden-pinned against the reference."""
+
+    def _xla_keep(self, boxes, cls_idx, valid, thr):
+        from tpu_yolo.ops.nms import _greedy_keep
+        return _greedy_keep(boxes, cls_idx, valid, iou_thres=thr)
+
+    def _clustered(self, rng, b, k, nc=8, img=640.0):
+        """Score-descending candidates with realistic redundant
+        clusters (the emission pattern NMS exists to collapse) so
+        suppression chains are exercised, not just pairwise kills."""
+        n_obj = max(4, k // 24)
+        centers = rng.uniform(40, img - 40, (b, n_obj, 2))
+        sizes = rng.uniform(16, 160, (b, n_obj, 2))
+        obj = rng.integers(0, n_obj, (b, k))
+        jit_c = rng.normal(0, 6, (b, k, 2))
+        jit_s = rng.uniform(0.85, 1.15, (b, k, 2))
+        c = np.take_along_axis(centers, obj[..., None], 1) + jit_c
+        s = np.take_along_axis(sizes, obj[..., None], 1) * jit_s
+        boxes = np.concatenate([c - s / 2, c + s / 2], -1)
+        cls = rng.integers(0, nc, (b, k))
+        valid = rng.random((b, k)) > 0.1
+        return (jnp.asarray(boxes, jnp.float32),
+                jnp.asarray(cls, jnp.int32), jnp.asarray(valid))
+
+    @pytest.mark.parametrize("b,k", [(2, 256), (1, 512), (3, 1024)])
+    def test_matches_xla_clustered(self, b, k):
+        from tpu_yolo.ops.nms_pallas import greedy_keep_pallas
+        rng = np.random.default_rng(0)
+        boxes, cls, valid = self._clustered(rng, b, k)
+        got = greedy_keep_pallas(boxes, cls, valid, 0.65, interpret=True)
+        want = self._xla_keep(boxes, cls, valid, 0.65)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_matches_xla_uniform_random(self):
+        from tpu_yolo.ops.nms_pallas import greedy_keep_pallas
+        rng = np.random.default_rng(1)
+        b, k = 2, 512
+        xy1 = rng.uniform(0, 600, (b, k, 2))
+        wh = rng.uniform(4, 200, (b, k, 2))
+        boxes = jnp.asarray(np.concatenate([xy1, xy1 + wh], -1),
+                            jnp.float32)
+        cls = jnp.asarray(rng.integers(0, 80, (b, k)), jnp.int32)
+        valid = jnp.asarray(rng.random((b, k)) > 0.3)
+        got = greedy_keep_pallas(boxes, cls, valid, 0.65, interpret=True)
+        want = self._xla_keep(boxes, cls, valid, 0.65)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_gate(self):
+        from tpu_yolo.ops.nms_pallas import use_pallas_nms
+        # CPU backend in tests: never the compiled kernel
+        assert not use_pallas_nms(1024)

@@ -12,6 +12,7 @@ Usage:
       [--iters 20] [--repeats 3] [--profile DIR] [--max-nms K]
       [--ranking exact|approx] [--recall R] [--pregate|--no-pregate]
       [--s2d|--s2d-host] [--latency] [--latency-batch N] [--check-pregate]
+      [--pallas-nms|--no-pallas-nms] [--check-pallas-nms]
 """
 from __future__ import annotations
 
@@ -137,6 +138,52 @@ def check_pregate(args, cfg, params):
         sys.exit(1)
 
 
+def check_pallas_nms(args, cfg, params):
+    """Assert the Pallas VMEM-resident greedy-keep kernel is
+    bit-identical to the XLA fixpoint ON THIS BACKEND
+    (ops/nms_pallas.py vs ops/nms.py::_greedy_keep). Interpret-mode
+    equality is pinned by tests/test_pallas.py; this checks the
+    compiled Mosaic lowering at production shapes (serving K=1024).
+    The kernel is opt-in (rejected as default policy — ops/nms_pallas
+    use_pallas_nms docstring), so the Pallas arm forces it on."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.ops import nms_pallas
+
+    def build(force):
+        nms_pallas.force_pallas_nms(force)
+        return jax.jit(lambda p, x: yolov11.forward_nms(
+            p, x.astype(jnp.bfloat16), cfg, ranking="approx",
+            max_nms=1024, approx_recall=0.9, conf_thres=0.001))
+
+    rng = np.random.default_rng(11)
+    n_batches, mismatches, checked = 4, [], 0
+    try:
+        for b in range(n_batches):
+            img = jax.device_put(rng.integers(
+                0, 256, (16, args.size, args.size, 3), np.uint8))
+            a = jax.device_get(build(True)(params, img))
+            c = jax.device_get(build(False)(params, img))
+            for key in sorted(a):
+                checked += 1
+                if not np.array_equal(np.asarray(a[key]),
+                                      np.asarray(c[key])):
+                    mismatches.append(f"batch{b}:{key}")
+    finally:
+        nms_pallas.force_pallas_nms(None)
+    print(json.dumps({
+        "check": "pallas_nms_vs_xla_fixpoint",
+        "backend": str(jax.default_backend()),
+        "batches": n_batches, "fields_checked": checked,
+        "bit_identical": not mismatches, "mismatches": mismatches,
+        "model": args.model, "size": args.size,
+    }))
+    if mismatches:
+        sys.exit(1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -185,6 +232,21 @@ def main():
     ap.add_argument("--latency-batch", type=int, default=1,
                     help="micro-batch for --latency (default 1; >1 "
                          "reports per-image amortization too)")
+    pallas_group = ap.add_mutually_exclusive_group()
+    pallas_group.add_argument(
+        "--pallas-nms", action="store_true",
+        help="force the Pallas VMEM-resident greedy-keep kernel ON "
+             "(rejected as default policy: ~-1.6%% vs the XLA fixpoint "
+             "at bs128/K1024 — ops/nms_pallas.py use_pallas_nms)")
+    pallas_group.add_argument(
+        "--no-pallas-nms", action="store_true",
+        help="explicit XLA suppression fixpoint (the default policy; "
+             "the A/B control for --pallas-nms)")
+    ap.add_argument("--check-pallas-nms", action="store_true",
+                    help="bit-parity assertion on THIS backend: run "
+                         "the serving tail with the Pallas greedy-keep "
+                         "kernel vs the XLA fixpoint over distinct "
+                         "random batches and assert identical outputs")
     ap.add_argument("--check-pregate", action="store_true",
                     help="bit-parity assertion on THIS backend: run the "
                          "exact-ranking tail with pregate forced on and "
@@ -215,10 +277,16 @@ def main():
         params = yolov11.fold_stem_space_to_depth(params)
     params = yolov11.fold_input_scale(params)
 
+    if args.pallas_nms or args.no_pallas_nms:
+        from tpu_yolo.ops import nms_pallas
+        nms_pallas.force_pallas_nms(bool(args.pallas_nms))
+
     if args.latency:
         return run_latency(args, cfg, params)
     if args.check_pregate:
         return check_pregate(args, cfg, params)
+    if args.check_pallas_nms:
+        return check_pallas_nms(args, cfg, params)
 
     if args.max_nms or args.ranking or args.recall or args.s2d_host \
             or args.no_pregate or args.pregate:
@@ -283,6 +351,7 @@ def main():
         "s2d": bool(args.s2d), "s2d_host": bool(args.s2d_host),
         "pregate": ("on" if args.pregate else
                     "off" if args.no_pregate else "auto"),
+        "pallas_nms": "on" if args.pallas_nms else "off",
         "platform": str(jax.devices()[0].platform),
     }))
 

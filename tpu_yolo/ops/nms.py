@@ -431,7 +431,18 @@ def _suppress(cand_boxes, top_scores, cls_idx, k, *, conf_thres, iou_thres,
                                 neginf=0.0)
     valid = top_scores > conf_thres
 
-    keep = _greedy_keep(cand_boxes, cls_idx, valid, iou_thres=iou_thres)
+    from tpu_yolo.ops.nms_pallas import greedy_keep_pallas, use_pallas_nms
+    if use_pallas_nms(k):
+        # Opt-in VMEM-resident kernel (force_pallas_nms(True)): builds
+        # the (K, K) mask ONCE on-chip and iterates the fixpoint as MXU
+        # matvecs. Bit-exact (interpret-mode equality tests + on-chip
+        # np.array_equal via infer_bench --check-pallas-nms) but
+        # measured ~-1.6% vs this XLA fixpoint at the serving config —
+        # the default stays off (ops/nms_pallas.py use_pallas_nms).
+        keep = greedy_keep_pallas(cand_boxes, cls_idx, valid, iou_thres)
+    else:
+        keep = _greedy_keep(cand_boxes, cls_idx, valid,
+                            iou_thres=iou_thres)
 
     # Compaction (kept rows to the front, score order preserved) as a
     # selection-matrix matmul instead of a stable argsort over K: the
