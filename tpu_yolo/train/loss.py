@@ -269,6 +269,19 @@ def detection_loss(raw_maps, gt, hyp: dict, cfg: ModelConfig):
     # around its concat (profiled ~7.5 ms for concat+split+casts at
     # bs128); per-half concats let XLA fuse reshape+slice+cast into
     # the two f32 writes the loss needs anyway.
+    #
+    # Measured and REJECTED (interleaved A/B, train_bench bs128,
+    # 2026-08-19): a fully PER-LEVEL pipeline — per-level shared f32
+    # dist casts feeding per-level dfl_expectation + DFL partial sums,
+    # cls kept bf16 with the BCE casting on the fly per level and the
+    # assigner input built once under stop_gradient — deleted this
+    # block's concats and f32 materializations (profiled at ~9.3
+    # ms/step together) yet measured 1,058/1,061 img/s vs 1,070/1,075
+    # for this form: the three narrow per-level programs lose more to
+    # worse fusion/layout choices than the deleted copies cost. Same
+    # lesson as the mask_in_gts rejection: per-line profile
+    # attributions include fused neighbors — deleting the op does not
+    # delete the time.
     levels = [m.reshape(bsz, -1, cfg.no) for m in raw_maps]
     nd = 4 * reg
     pred_dist = jnp.concatenate([m[..., :nd] for m in levels],
