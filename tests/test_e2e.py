@@ -244,3 +244,40 @@ def test_cli_resume(mini_coco, tmp_path):
     assert "fine-tuning from stripped checkpoint" in r.stdout.lower()
     rows = (save_dir / "step.csv").read_text().strip().splitlines()
     assert rows[-1].startswith("002")  # ran both epochs of the new run
+
+
+def test_cli_coco_metrics(mini_coco, tmp_path):
+    """--test --coco-metrics prints the COCO-API 12-line table
+    (first-party protocol, eval/coco_eval.py) computed in
+    original-image space alongside the reference-parity mAP."""
+    import jax
+
+    from tpu_yolo.core.config import get_model_config, load_hyperparams
+    from tpu_yolo.io.checkpoint import save_checkpoint
+    from tpu_yolo.models import yolov11
+
+    hyp_path = _hyp_tiny(tmp_path)
+    hyp = load_hyperparams(hyp_path)
+    cfg = get_model_config("n", num_classes=len(hyp["names"]))
+    params = yolov11.init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "init.ckpt"
+    save_checkpoint(str(ckpt), {"params": params, "ema_params": None})
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cmd = [
+        sys.executable, "main.py", "--test", "--coco-metrics",
+        "--model-size", "n", "--input-size", "128", "--val-batch-size", "4",
+        "--data-dir", str(mini_coco), "--save-dir", str(tmp_path),
+        "--weights", str(ckpt), "--hyp", hyp_path, "--workers", "2",
+    ]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                       env=env, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-4000:]
+    table = [ln for ln in r.stdout.splitlines()
+             if "Average Precision" in ln or "Average Recall" in ln]
+    assert len(table) == 12, r.stdout[-4000:]
+    assert "IoU=0.50:0.95 | area=   all | maxDets=100" in table[0]
+    # init weights on synthetic data: values defined and in range
+    for ln in table:
+        val = float(ln.rsplit("=", 1)[1])
+        assert -1.0 <= val <= 1.0

@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--epochs", default=600, type=int)
     p.add_argument("--train", action="store_true")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--coco-metrics", action="store_true",
+                   help="with --test: also compute the COCO-API "
+                        "12-metric table (AP/AP50/AP75, AP by area, "
+                        "AR@1/10/100 — first-party protocol, "
+                        "eval/coco_eval.py) in original-image space")
     p.add_argument("--export", nargs="?", const="stablehlo", default="",
                    choices=["stablehlo", "onnx", "both"],
                    help="export format (bare --export = stablehlo; onnx "
@@ -147,12 +152,22 @@ def run_test(args, hyp, cfg, max_images: int | None = None):
     dp = DataParallel(make_mesh(n_data=n_data))
     params = dp.replicate(params)
 
-    return evaluate(
+    coco_ctx = None
+    if getattr(args, "coco_metrics", False):
+        from tpu_yolo.eval.evaluator import build_coco_ctx
+        coco_ctx = build_coco_ctx(dataset, args.input_size)
+
+    result = evaluate(
         params, loader, cfg, args.input_size,
         plot_dir=args.save_dir if args.plot else None,
         names=[v for _, v in sorted(hyp["names"].items())],
         device_put_fn=(dp.shard_batch if dp.num_data_shards > 1 else None),
-        progress=True)
+        progress=True, coco_ctx=coco_ctx)
+
+    if coco_ctx is not None:
+        from tpu_yolo.eval.coco_eval import summarize
+        print(summarize(coco_ctx[0].accumulate()))
+    return result
 
 
 def main():

@@ -60,18 +60,50 @@ def _gt_pixel_boxes(targets: dict, image_index: int, input_hw) -> np.ndarray:
     return np.concatenate([cls, xyxy], axis=1)
 
 
+def build_coco_ctx(dataset, input_size: int):
+    """(CocoEvaluator, geoms) for evaluate(coco_ctx=...): per dataset
+    image, the original->letterbox geometry (header-only PIL size read)
+    and the GT in original-image pixels — the space the COCO protocol's
+    area buckets are defined in."""
+    from PIL import Image
+
+    from tpu_yolo.data.image import eval_geometry
+    from tpu_yolo.eval.coco_eval import CocoEvaluator
+
+    geoms = []
+    for path, label in zip(dataset.filenames, dataset.labels):
+        with Image.open(path) as im:
+            ow, oh = im.size
+        gain, pad = eval_geometry((oh, ow), input_size)
+        if label.size:
+            px = label[:, 1:] * np.array([ow, oh, ow, oh], np.float32)
+            gt = np.concatenate(
+                [label[:, :1], px[:, :2] - px[:, 2:] / 2,
+                 px[:, :2] + px[:, 2:] / 2], axis=1).astype(np.float32)
+        else:
+            gt = np.zeros((0, 5), np.float32)
+        geoms.append((gain, pad, gt, (ow, oh)))
+    return CocoEvaluator(), geoms
+
+
 def evaluate(params, loader, cfg: ModelConfig, input_size: int,
              plot_dir: str | None = None, names=(),
              compute_dtype=jnp.bfloat16, device_put_fn=None,
-             progress: bool = False):
+             progress: bool = False, coco_ctx=None):
     """Run the full eval pass.
 
     Args:
       params: (BN-folded or raw) param pytree.
       loader: yields (images uint8 (B,H,W,3), targets dict) batches.
       device_put_fn: optional fn(array)->sharded device array for DP eval.
+      coco_ctx: optional (eval.coco_eval.CocoEvaluator, geoms) to also
+        accumulate the COCO-protocol metrics; geoms is a dataset-order
+        list of ((gx, gy), (pad_w, pad_h), gt_orig (M,5), (ow, oh)) per
+        image (data/image.py::eval_geometry + original-space labels) —
+        the loader must iterate the dataset unshuffled (val loaders do).
     Returns:
       (mAP, mAP50, recall, precision) — the reference test() tuple.
+      COCO results are read from the collector by the caller.
     """
     step = functools.partial(predict_step, cfg=cfg, compute_dtype=compute_dtype)
 
@@ -81,7 +113,7 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
         import tqdm
         it = tqdm.tqdm(loader, total=len(loader), desc="eval")
 
-    def consume(out, targets, n):
+    def consume(out, targets, n, base):
         out = jax.device_get(out)
         for b in range(n):
             cnt = int(out["count"][b])
@@ -89,6 +121,13 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
             det[:, :4] = out["boxes"][b][:cnt]
             det[:, 4] = out["scores"][b][:cnt]
             det[:, 5] = out["classes"][b][:cnt]
+            if coco_ctx is not None:
+                coll, geoms = coco_ctx
+                (gx, gy), (pw, ph), gt_orig, (ow, oh) = geoms[base + b]
+                d = det.copy()
+                d[:, [0, 2]] = np.clip((d[:, [0, 2]] - pw) / gx, 0, ow)
+                d[:, [1, 3]] = np.clip((d[:, [1, 3]] - ph) / gy, 0, oh)
+                coll.add_image(d, gt_orig)
             gt = _gt_pixel_boxes(targets, b, (input_size, input_size))
             if cnt == 0:
                 if gt.shape[0]:
@@ -105,7 +144,8 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
     # overlaps device compute (reference test() is fully serial,
     # main.py:263-294).
     batch_size = None
-    pending = None  # (device result, targets, real batch count)
+    seen = 0
+    pending = None  # (device result, targets, real batch count, base idx)
     for images, targets in it:
         if batch_size is None:
             batch_size = images.shape[0]
@@ -117,7 +157,8 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
         out = step(params, x)
         if pending is not None:
             consume(*pending)
-        pending = (out, targets, n)
+        pending = (out, targets, n, seen)
+        seen += n
     if pending is not None:
         consume(*pending)
 
