@@ -30,6 +30,27 @@ def _subtree(g, prefix):
     return {k[len(prefix):]: g[k] for k in g.files if k.startswith(prefix)}
 
 
+def _dequant_subtree(g, tag, base=None):
+    """Decode a quantize16 section (tools/make_goldens.py): int16 codes
+    under '<tag>q.' times the f32 scale under '<tag>s.', plus the f32
+    `base` leaf when the section stores deltas; integer leaves pass
+    through raw. Per-leaf error bound max|stored|/65534 — >=45x under
+    every tolerance below (quantize16 docstring)."""
+    out = {}
+    qpre, spre = f"{tag}q.", f"{tag}s."
+    for k in g.files:
+        if not k.startswith(qpre):
+            continue
+        leaf = k[len(qpre):]
+        v = g[k]
+        if v.dtype == np.int16:
+            v = v.astype(np.float32) * g[spre + leaf]
+            if base is not None:
+                v = base[leaf].astype(np.float32) + v
+        out[leaf] = v
+    return out
+
+
 def _leaf_diffs(ref_tree, our_tree):
     """[(max_abs_diff, ref_leaf_max_abs, keystr)] over aligned leaves."""
     import jax
@@ -61,8 +82,8 @@ def test_train_trajectory_matches_reference():
     g = load_golden("train_traj.npz")
     cfg = get_model_config("n")
     template = yolov11.init_params(jax.random.PRNGKey(0), cfg)
-    p0 = convert_state_dict(_subtree(g, "sd0."), template,
-                            source_format="reference")
+    sd0 = _subtree(g, "sd0.")
+    p0 = convert_state_dict(sd0, template, source_format="reference")
     gains = np.asarray([7.5, 0.5, 1.5], np.float32)
 
     def batch(s):
@@ -79,7 +100,7 @@ def test_train_trajectory_matches_reference():
     np.testing.assert_allclose(
         [float(lb), float(lc), float(ld)], g["losses"][0], rtol=1e-4)
 
-    gref = convert_state_dict(_subtree(g, "gr."), template,
+    gref = convert_state_dict(_dequant_subtree(g, "gr"), template,
                               source_format="reference")
     scaled = [(d / max(scale, 1e-6), key)
               for d, scale, key in _leaf_diffs(gref, grads)]
@@ -102,8 +123,8 @@ def test_train_trajectory_matches_reference():
         if s == 0:
             # one full update: nesterov buffer init + decay groups +
             # BN running stats (measured <=1.2e-6)
-            sd1 = convert_state_dict(_subtree(g, "sd1."), template,
-                                     source_format="reference")
+            sd1 = convert_state_dict(_dequant_subtree(g, "sd1", sd0),
+                                     template, source_format="reference")
             diffs = _leaf_diffs(sd1, state["params"])
             assert max(d for d, _, _ in diffs) < 1e-4, \
                 max(diffs, key=lambda t: t[0])
@@ -115,10 +136,10 @@ def test_train_trajectory_matches_reference():
     # final model + EMA states after 4 compounded updates
     # (measured <=1.9e-3 abs; f32 drift amplified by discrete assigner
     # selections, not a systematic divergence — step-1 is 1e-6-exact)
-    for prefix, ours in (("sdf.", state["params"]),
-                         ("sde.", state["ema_params"])):
-        ref_tree = convert_state_dict(_subtree(g, prefix), template,
-                                      source_format="reference")
+    for tag, ours in (("sdf", state["params"]),
+                      ("sde", state["ema_params"])):
+        ref_tree = convert_state_dict(_dequant_subtree(g, tag, sd0),
+                                      template, source_format="reference")
         diffs = _leaf_diffs(ref_tree, ours)
         assert max(d for d, _, _ in diffs) < 1e-2, \
-            (prefix, max(diffs, key=lambda t: t[0]))
+            (tag, max(diffs, key=lambda t: t[0]))

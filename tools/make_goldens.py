@@ -65,6 +65,35 @@ def save(name, **arrays):
     print(f"wrote {path} ({size:.2f} MB, {len(arrays)} arrays)")
 
 
+def quantize16(leaves, base=None):
+    """Per-leaf symmetric int16 quantization for bulky golden sections.
+
+    Float leaves become int16 codes plus one f32 scale per leaf
+    (scale = max|value|/32767; values are deltas vs `base` when given —
+    state-dict snapshots quantize their UPDATE, whose magnitude is
+    orders below the weights', so the per-leaf error bound
+    max|delta|/65534 sits >=45x under every trajectory-test tolerance:
+    measured worst leaf deltas are 0.062 for the one-step snapshot vs
+    its 1e-4 gate and 0.23 for the 4-step snapshots vs their 1e-2
+    gates). Integer leaves (num_batches_tracked) pass through raw.
+    Deterministic, so golden regeneration stays bit-identical.
+    Returns (codes, scales) dicts; decode with dequantize16 (mirrored
+    in tests/test_train_trajectory.py)."""
+    codes, scales = {}, {}
+    for k, v in leaves.items():
+        v = np.asarray(v)
+        if v.dtype.kind in "iu":
+            codes[k] = v
+            continue
+        d = v.astype(np.float64)
+        if base is not None:
+            d = d - np.asarray(base[k], np.float64)
+        scale = max(float(np.abs(d).max()), 1e-30) / 32767.0
+        codes[k] = np.round(d / scale).astype(np.int16)
+        scales[k] = np.float32(scale)
+    return codes, scales
+
+
 def golden_model():
     from nets import nn
 
@@ -243,21 +272,30 @@ def golden_train_trajectory():
             for k, p in model.named_parameters():
                 if p.grad is not None:
                     grads[k] = p.grad.detach().numpy().copy()
-            arrays.update({"gr." + k: v for k, v in grads.items()})
         optimizer.step()
         ema.update(model)
         if s == 0:
-            arrays.update({"sd1." + k: v.detach().clone().numpy()
-                           for k, v in model.state_dict().items()})
+            sd1 = {k: v.detach().clone().numpy()
+                   for k, v in model.state_dict().items()}
+
+    # int16-compress the five full-model sections (the file was 48.6 MB
+    # as raw f32 — ADVICE r3): sd0 stays exact f32 (the trajectory's
+    # anchor), gradients quantize their values, snapshots their deltas
+    # vs sd0. Error bounds in the quantize16 docstring.
+    sdf = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sde = {k: v.detach().numpy() for k, v in ema.ema.state_dict().items()}
+    sections = {}
+    for tag, leaves, base in (("gr", grads, None), ("sd1", sd1, init_sd),
+                              ("sdf", sdf, init_sd), ("sde", sde, init_sd)):
+        codes, scales = quantize16(leaves, base)
+        sections.update({f"{tag}q.{k}": v for k, v in codes.items()})
+        sections.update({f"{tag}s.{k}": v for k, v in scales.items()})
 
     save("train_traj.npz",
          losses=np.asarray(losses, np.float64),
          **arrays,
          **{"sd0." + k: v for k, v in init_sd.items()},
-         **{"sdf." + k: v.detach().numpy()
-            for k, v in model.state_dict().items()},
-         **{"sde." + k: v.detach().numpy()
-            for k, v in ema.ema.state_dict().items()})
+         **sections)
 
 
 def golden_ciou():
