@@ -66,6 +66,75 @@ def test_pregated_ranking_matches_flat():
                 err_msg=f"{ranking}/{key}")
 
 
+def test_single_label_nms_matches_zeroed_multilabel():
+    """multi_label=False (one candidate per anchor, its argmax class —
+    ops/nms.py::_rank_candidates_singlelabel) is equivalent to running
+    the multi-label path on predictions whose non-argmax class scores
+    are zeroed: with K = A every positive argmax entry outranks every
+    zeroed entry, and cross-anchor ties order by flat index a*nc + c,
+    which restricted to one candidate per anchor is exactly the
+    single-label (score desc, anchor asc) order."""
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.nms import batched_nms
+
+    rng = np.random.default_rng(11)
+    b, a, nc = 3, 256, 16
+    cxy = rng.uniform(40, 600, (b, a, 2))
+    wh = rng.uniform(8, 120, (b, a, 2))
+    # quantized scores: dense cross-anchor ties (the tie-break clause)
+    scores = rng.integers(1, 12, (b, a, nc)).astype(np.float32) / 12.0
+
+    zeroed = np.zeros_like(scores)
+    am = scores.argmax(-1)
+    ix = np.indices(am.shape)
+    zeroed[ix[0], ix[1], am] = scores[ix[0], ix[1], am]
+
+    preds = jnp.asarray(np.concatenate([cxy, wh, scores], -1), jnp.float32)
+    preds_z = jnp.asarray(np.concatenate([cxy, wh, zeroed], -1),
+                          jnp.float32)
+
+    res_s = batched_nms(preds, max_nms=a, multi_label=False)
+    res_o = batched_nms(preds_z, max_nms=a, multi_label=True,
+                        pregate=False)
+    for key in ("boxes", "scores", "classes", "valid", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(res_s[key]), np.asarray(res_o[key]), err_msg=key)
+
+
+def test_single_label_fused_matches_two_stage():
+    """nms_from_raw(multi_label=False) — ranking raw bf16 logits — picks
+    the same detections as batched_nms(decode_predictions(raw),
+    multi_label=False): sigmoid is strictly increasing and bf16 -> f32
+    a monotone injection, so argmax class and anchor ranking agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_yolo.core.config import get_model_config
+    from tpu_yolo.models import yolov11
+    from tpu_yolo.ops.nms import batched_nms, nms_from_raw
+
+    cfg = get_model_config("n")
+    params = yolov11.init_params(jax.random.PRNGKey(3), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 128, 128, 3))
+    raw = yolov11.forward_raw(params, x, cfg)
+    hw = (128, 128)
+
+    res_f = nms_from_raw(raw, cfg, hw, max_nms=256, multi_label=False)
+    preds = yolov11.decode_predictions(raw, cfg, hw)
+    res_t = batched_nms(preds, max_nms=256, multi_label=False)
+
+    np.testing.assert_array_equal(np.asarray(res_f["count"]),
+                                  np.asarray(res_t["count"]))
+    v = np.asarray(res_f["valid"])
+    np.testing.assert_array_equal(v, np.asarray(res_t["valid"]))
+    np.testing.assert_array_equal(np.asarray(res_f["classes"])[v],
+                                  np.asarray(res_t["classes"])[v])
+    np.testing.assert_allclose(np.asarray(res_f["boxes"])[v],
+                               np.asarray(res_t["boxes"])[v],
+                               rtol=1e-5, atol=1e-3)
+
+
 def test_nms_model_outputs():
     """NMS on real (random-weight) model outputs matches the reference
     pipeline output."""

@@ -161,14 +161,18 @@ def object_level_section(rng, rows):
     import jax
     from tpu_yolo.ops.nms import batched_nms
 
-    configs = [("exact", 2048, 0.95), ("approx", 2048, 0.95),
-               ("exact", 1024, 0.95), ("approx", 1024, 0.95),
-               ("approx", 512, 0.95),
+    configs = [("exact", 2048, 0.95, True), ("approx", 2048, 0.95, True),
+               ("exact", 1024, 0.95, True), ("approx", 1024, 0.95, True),
+               ("approx", 512, 0.95, True),
                # recall_target sweep: the bucketed reduction's
                # intermediate (the sort input, the ranking cost center)
                # shrinks 42112 -> 21120 -> 10624 at K=2048
-               ("approx", 2048, 0.9), ("approx", 2048, 0.8),
-               ("approx", 1024, 0.9), ("approx", 1024, 0.8)]
+               ("approx", 2048, 0.9, True), ("approx", 2048, 0.8, True),
+               ("approx", 1024, 0.9, True), ("approx", 1024, 0.8, True),
+               # single-label (argmax class per anchor): the
+               # multi_label=False serving knob's object-level bound
+               ("exact", 2048, 0.95, False),
+               ("approx", 1024, 0.9, False)]
     acc = {c: [] for c in configs}
     dets = {c: 0 for c in configs}
     n_obj = 0
@@ -176,10 +180,10 @@ def object_level_section(rng, rows):
         preds, objects = make_object_scene(rng, batch=16)
         n_obj += sum(len(o) for o in objects)
         for c in configs:
-            ranking, k, recall = c
+            ranking, k, recall, ml = c
             res = jax.device_get(batched_nms(
                 preds, conf_thres=0.001, ranking=ranking, max_nms=k,
-                approx_recall=recall))
+                approx_recall=recall, multi_label=ml))
             dets[c] += int(np.sum(res["count"]))
             for img in range(preds.shape[0]):
                 r = object_recall(res, objects, img)
@@ -188,7 +192,7 @@ def object_level_section(rng, rows):
     for c in configs:
         rows.append({
             "scene": "clustered-objects", "ranking": c[0], "max_nms": c[1],
-            "recall_target": c[2],
+            "recall_target": c[2], "multi_label": c[3],
             "objects": n_obj, "final_dets": dets[c],
             "object_recall": round(float(np.mean(acc[c])), 4),
             "backend": jax.default_backend(),

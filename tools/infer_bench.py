@@ -11,6 +11,7 @@ Usage:
   python tools/infer_bench.py [--batch 128] [--size 640] [--model n]
       [--iters 20] [--repeats 3] [--profile DIR] [--max-nms K]
       [--ranking exact|approx] [--recall R] [--pregate|--no-pregate]
+      [--single-label]
       [--s2d|--s2d-host] [--latency] [--latency-batch N] [--check-pregate]
       [--pallas-nms|--no-pallas-nms] [--check-pallas-nms]
 """
@@ -247,6 +248,11 @@ def main():
                          "the serving tail with the Pallas greedy-keep "
                          "kernel vs the XLA fixpoint over distinct "
                          "random batches and assert identical outputs")
+    ap.add_argument("--single-label", action="store_true",
+                    help="multi_label=False: one candidate per anchor "
+                         "(argmax class) — the serving simplification "
+                         "(ops/nms.py::_rank_candidates_singlelabel); "
+                         "ranking collapses to a fused max+argmax pass")
     ap.add_argument("--check-pregate", action="store_true",
                     help="bit-parity assertion on THIS backend: run the "
                          "exact-ranking tail with pregate forced on and "
@@ -289,12 +295,14 @@ def main():
         return check_pallas_nms(args, cfg, params)
 
     if args.max_nms or args.ranking or args.recall or args.s2d_host \
-            or args.no_pregate or args.pregate:
+            or args.no_pregate or args.pregate or args.single_label:
         import jax.numpy as jnp
 
         # bench.py's serving defaults unless overridden
         kw = {"ranking": args.ranking or "approx",
               "approx_recall": args.recall or 0.9}
+        if args.single_label:
+            kw["multi_label"] = False
         if args.max_nms:
             kw["max_nms"] = args.max_nms
         if args.no_pregate or args.pregate:
@@ -351,6 +359,7 @@ def main():
         "s2d": bool(args.s2d), "s2d_host": bool(args.s2d_host),
         "pregate": ("on" if args.pregate else
                     "off" if args.no_pregate else "auto"),
+        "multi_label": not args.single_label,
         "pallas_nms": "on" if args.pallas_nms else "off",
         "platform": str(jax.devices()[0].platform),
     }))

@@ -149,7 +149,41 @@ def _rank_candidates_pregated(scores3, k: int, ranking: str,
     return scores, anchor_idx, cls_idx
 
 
-@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking", "approx_recall", "pregate"))
+def _rank_candidates_singlelabel(scores3, k: int, ranking: str,
+                                 recall: float = 0.95):
+    """One candidate per anchor — its argmax class — ranked by that
+    class's score: the `multi_label=False` serving knob.
+
+    The reference expands every (anchor, class) pair above conf into a
+    candidate (util.py:147-148) and eval keeps that contract; standard
+    production detectors instead emit each anchor's best class only.
+    This drops the (B, A*nc) candidate ranking (the serving NMS cost
+    center: bucketed reduce + 672k-element sort) to one fused
+    max+argmax pass over (B, A, nc) plus an A-wide rank — and, unlike
+    the per-anchor pre-gate (whose (B, K, nc) row gather made it a
+    measured -15% on the approx path), gathers only the (B, K) argmax
+    classes.
+
+    Tie-breaks mirror the multi-label order: argmax picks the lowest
+    class index, top_k/approx_max_k the lowest anchor index, exactly
+    the (score desc, a*nc+c asc) candidate order restricted to one
+    candidate per anchor.
+
+    Returns (scores, anchor_idx, cls_idx), each (B, K), score-desc."""
+    b, a, nc = scores3.shape
+    anchor_max = jnp.max(scores3, axis=-1)                  # (B, A)
+    cls = jnp.argmax(scores3, axis=-1).astype(jnp.int32)    # (B, A)
+    if ranking == "approx" and a > 4 * k and \
+            jax.default_backend() == "tpu":
+        top, aidx = jax.lax.approx_max_k(anchor_max, k,
+                                         recall_target=recall)
+    else:
+        top, aidx = jax.lax.top_k(anchor_max, k)
+    cls_idx = jnp.take_along_axis(cls, aidx, axis=1)
+    return top, aidx, cls_idx
+
+
+@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking", "approx_recall", "pregate", "multi_label"))
 def batched_nms(preds,
                 conf_thres: float = 0.001,
                 iou_thres: float = 0.65,
@@ -157,13 +191,18 @@ def batched_nms(preds,
                 max_nms: int = 2048,
                 ranking: str = "exact",
                 approx_recall: float = 0.95,
-                pregate: bool | None = None):
+                pregate: bool | None = None,
+                multi_label: bool = True):
     """NMS over decoded predictions.
 
     Args:
       preds: (B, A, 4+nc) — pixel xywh boxes + per-class scores in [0,1].
       ranking: "exact" (default, parity path) | "approx" (serving knob —
         see _rank_candidates).
+      multi_label: True (default) keeps the reference's (anchor, class)
+        candidate expansion (util.py:147-148) — the parity contract;
+        False emits one candidate per anchor (its argmax class), the
+        production-serving simplification (_rank_candidates_singlelabel).
     Returns dict of:
       boxes:  (B, max_det, 4) xyxy pixels
       scores: (B, max_det)
@@ -177,7 +216,7 @@ def batched_nms(preds,
     # 64 MB/image. All above-conf candidates land in the top-K by score,
     # so capping differs from the reference only for candidates ranked
     # below the 8192-th score (conf ~ threshold; no measurable mAP).
-    k = min(max_nms, a * nc, 8192)
+    k = min(max_nms, a * nc if multi_label else a, 8192)
 
     boxes_xywh = preds[..., :4]
     scores_all = preds[..., 4:]
@@ -185,7 +224,10 @@ def batched_nms(preds,
     if pregate is None:
         pregate = ranking == "exact"   # measured policy — see
         # _rank_candidates_pregated docstring (2x exact, -15% approx)
-    if pregate and a > k:
+    if not multi_label:
+        top_scores, anchor_idx, cls_idx = _rank_candidates_singlelabel(
+            scores_all, k, ranking, approx_recall)
+    elif pregate and a > k:
         # Per-anchor pre-gate: provably the same top-K candidate set
         # (see _rank_candidates_pregated), ranked at 1/nc the sort size.
         top_scores, anchor_idx, cls_idx = _rank_candidates_pregated(
@@ -213,7 +255,8 @@ def nms_from_raw(raw_maps, cfg, input_hw,
                  max_nms: int = 2048,
                  ranking: str = "exact",
                  approx_recall: float = 0.95,
-                 pregate: bool | None = None):
+                 pregate: bool | None = None,
+                 multi_label: bool = True):
     """Fused decode+NMS from raw per-level head maps — the production
     inference tail (models.forward_nms). Output semantics are identical
     to batched_nms(decode_predictions(raw)); the structure is shaped by
@@ -255,7 +298,7 @@ def nms_from_raw(raw_maps, cfg, input_hw,
                             for m in raw_maps], axis=1)   # (B, A, 64)
     a = dist.shape[1]
 
-    k = min(max_nms, a * nc, 8192)
+    k = min(max_nms, a * nc if multi_label else a, 8192)
     # Flatten each level's class block to 2D FIRST and concat on the
     # minor axis — element order is identical to
     # concat(level maps, axis=1).reshape(b, a*nc) (anchor-major,
@@ -268,7 +311,13 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     if pregate is None:
         pregate = ranking == "exact"   # measured policy — see
         # _rank_candidates_pregated docstring (2x exact, -15% approx)
-    if pregate and a > k:
+    if not multi_label:
+        # One candidate per anchor (argmax class) on the raw bf16
+        # logits — monotone in the sigmoid scores, ties as in the
+        # multi-label order (_rank_candidates_singlelabel docstring).
+        top_logits, anchor_idx, cls_idx = _rank_candidates_singlelabel(
+            flat.reshape(b, a, nc), k, ranking, approx_recall)
+    elif pregate and a > k:
         # Per-anchor pre-gate: provably the same top-K candidate set
         # (see _rank_candidates_pregated), ranked at 1/nc the sort
         # size — the (B, A, nc) view of the 2D concat is a free

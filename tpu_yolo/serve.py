@@ -68,7 +68,8 @@ class Detector:
                  ranking: str = "approx",
                  device_letterbox: bool = False, stage_size: int = 960,
                  max_nms: int = 1024,
-                 approx_recall: float = 0.9):
+                 approx_recall: float = 0.9,
+                 multi_label: bool = True):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
         every local chip (batch_size must divide the data-axis size).
@@ -101,7 +102,16 @@ class Detector:
         own default). The B·K² suppression work is the post-forward
         cost center at large batch. Measured NOT to move bs=1 latency
         (7.4 ms device either way — the batch-1 forward dominates), so
-        it is a throughput/memory knob, not a latency one."""
+        it is a throughput/memory knob, not a latency one.
+
+        `multi_label`: True (default) keeps the reference's
+        (anchor, class) candidate expansion (util.py:147-148) — an
+        anchor can emit several detections, one per above-conf class.
+        False emits each anchor's argmax class only — the standard
+        production simplification; candidate ranking collapses to one
+        fused max+argmax pass (ops/nms.py::_rank_candidates_singlelabel).
+        Throughput/agreement measurements: BENCH.md "single-label
+        serving"."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
@@ -111,7 +121,8 @@ class Detector:
         self._step = functools.partial(
             _predict, cfg=cfg, compute_dtype=compute_dtype,
             conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
-            ranking=ranking, max_nms=max_nms, approx_recall=approx_recall)
+            ranking=ranking, max_nms=max_nms, approx_recall=approx_recall,
+            multi_label=multi_label)
         # Single-chip fast path: pin the image entry layout to the
         # stem conv's preferred tiling so the in-program relayout copy
         # disappears (image_input_format docstring; bench.py mirrors
@@ -125,7 +136,8 @@ class Detector:
             _predict_staged, cfg=cfg, out_size=input_size,
             compute_dtype=compute_dtype, conf_thres=conf_thres,
             iou_thres=iou_thres, max_det=max_det, ranking=ranking,
-            max_nms=max_nms, approx_recall=approx_recall)
+            max_nms=max_nms, approx_recall=approx_recall,
+            multi_label=multi_label)
         self._pipe = None
         self._decode_threads = decode_threads
 
@@ -343,24 +355,28 @@ class Detector:
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype",
                                              "conf_thres", "iou_thres",
                                              "max_det", "ranking",
-                                             "max_nms", "approx_recall"))
+                                             "max_nms", "approx_recall",
+                                             "multi_label"))
 def _predict(params, images, *, cfg, compute_dtype, conf_thres, iou_thres,
-             max_det, ranking="approx", max_nms=1024, approx_recall=0.9):
+             max_det, ranking="approx", max_nms=1024, approx_recall=0.9,
+             multi_label=True):
     x = images.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
                                ranking=ranking, max_nms=max_nms,
-                               approx_recall=approx_recall)
+                               approx_recall=approx_recall,
+                               multi_label=multi_label)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "out_size",
                                              "compute_dtype", "conf_thres",
                                              "iou_thres", "max_det",
                                              "ranking", "max_nms",
-                                             "approx_recall"))
+                                             "approx_recall",
+                                             "multi_label"))
 def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
                     conf_thres, iou_thres, max_det, ranking="approx",
-                    max_nms=1024, approx_recall=0.9):
+                    max_nms=1024, approx_recall=0.9, multi_label=True):
     """Device-letterbox serving program: raw staged uint8 -> letterbox
     (ops/letterbox.py, single-resize serving geometry) -> normalize ->
     forward -> NMS, one jitted graph."""
@@ -372,4 +388,5 @@ def _predict_staged(params, staged, hw, *, cfg, out_size, compute_dtype,
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
                                iou_thres=iou_thres, max_det=max_det,
                                ranking=ranking, max_nms=max_nms,
-                               approx_recall=approx_recall)
+                               approx_recall=approx_recall,
+                               multi_label=multi_label)
