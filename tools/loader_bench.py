@@ -17,6 +17,8 @@ One JSON line per (mode, threads): decodes/s and output images/s
 
 Usage: python tools/loader_bench.py [--images 256] [--batch 64]
            [--size 640] [--threads 1,2,4,8] [--epochs 3]
+       python tools/loader_bench.py --eval-ab [--images 512] [--model n]
+           [--workers 4]   # full evaluate() native-vs-python loader A/B
 """
 from __future__ import annotations
 
@@ -61,6 +63,92 @@ def bench(pipe_fn, batches, epochs: int):
     return best
 
 
+def eval_ab(args):
+    """Full-eval-loop wall-time A/B: evaluate() over synthetic COCO-layout
+    JPEGs through the native C++ eval loader vs the Python cv2 thread
+    loader (VERDICT r3 item 2's "Done =" measurement; results in
+    BENCH.md "eval loader A/B"). Runs the production predict_step on
+    the default backend (the chip, under axon) and asserts the two
+    loaders produce matching metrics — bit-identical within each
+    loader across rounds; across loaders within the JPEG decoder
+    tolerance (libjpeg vs cv2 pixel drift, the per-batch contract
+    tests/test_native_loader.py pins). Runs interleaved native/python
+    rounds (CLAUDE.md: A/B comparisons must interleave) and reports
+    the best wall time of each."""
+    import jax
+
+    from tpu_yolo.core.config import get_model_config, load_hyperparams
+    from tpu_yolo.data.dataset import DetectionDataset
+    from tpu_yolo.data.loader import make_val_loader
+    from tpu_yolo.eval.evaluator import evaluate
+    from tpu_yolo.models import yolov11
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        img_dir = os.path.join(td, "images", "val2017")
+        lbl_dir = os.path.join(td, "labels", "val2017")
+        os.makedirs(img_dir)
+        os.makedirs(lbl_dir)
+        paths = make_jpegs(img_dir, args.images, rng)
+        for p in paths:
+            n = int(rng.integers(1, 8))
+            rows = []
+            for _ in range(n):
+                w, h = rng.uniform(0.05, 0.4, 2)
+                x, y = rng.uniform(w / 2, 1 - w / 2), rng.uniform(
+                    h / 2, 1 - h / 2)
+                rows.append(f"{int(rng.integers(0, 80))} "
+                            f"{x:.6f} {y:.6f} {w:.6f} {h:.6f}")
+            base = os.path.splitext(os.path.basename(p))[0]
+            with open(os.path.join(lbl_dir, base + ".txt"), "w") as f:
+                f.write("\n".join(rows) + "\n")
+
+        cfg = get_model_config(args.model)
+        params = yolov11.fold_batchnorm(
+            yolov11.init_params(jax.random.PRNGKey(0), cfg))
+        # the bias init puts every class sigmoid ~1e-5 (< eval conf), so
+        # a random-init eval emits ZERO detections and the loop skips
+        # all NMS-candidate/TP-matching host work — jitter the final cls
+        # biases to a realistic score spread so the measured wall time
+        # includes the real per-image matching cost
+        for lvl in params["head"]["cls"]:
+            b = np.asarray(lvl[4]["b"])
+            lvl[4]["b"] = rng.normal(-4.0, 2.0, b.shape).astype(b.dtype)
+        hyp = load_hyperparams()
+        ds = DetectionDataset(paths, args.size, hyp, augment=False)
+
+        results = {"native": [], "python": []}
+        metrics = {}
+        for rnd in range(max(args.epochs, 1)):
+            for mode in ("native", "python"):
+                loader = make_val_loader(
+                    ds, args.batch, num_workers=args.workers,
+                    native="on" if mode == "native" else "off")
+                t0 = time.perf_counter()
+                m = evaluate(params, loader, cfg, args.size)
+                dt = time.perf_counter() - t0
+                results[mode].append(dt)
+                key = tuple(round(float(v), 6) for v in m)
+                metrics.setdefault(mode, key)
+                assert metrics[mode] == key, (mode, metrics[mode], key)
+        drift = max(abs(a - b) for a, b in
+                    zip(metrics["native"], metrics["python"]))
+        assert drift < 0.02, metrics   # JPEG decoder tolerance
+        for mode in ("native", "python"):
+            dt = min(results[mode])
+            print(json.dumps({
+                "mode": f"eval_{mode}", "images": len(paths),
+                "batch": args.batch, "workers": args.workers,
+                "wall_s": round(dt, 2),
+                "img_per_s": round(len(paths) / dt, 1),
+                "metric_drift_vs_other": round(drift, 6),
+                "map": metrics[mode][0],
+                "backend": jax.default_backend(),
+                "ncpu": os.cpu_count(),
+            }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=256)
@@ -68,6 +156,12 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--threads", default="1,2,4,8")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--eval-ab", action="store_true",
+                    help="full evaluate() wall-time A/B: native C++ "
+                         "eval loader vs Python cv2 loader on synthetic "
+                         "COCO-layout JPEGs (identical metrics asserted)")
+    ap.add_argument("--model", default="n")
+    ap.add_argument("--workers", type=int, default=4)
     args = ap.parse_args()
 
     from tpu_yolo.data import native_loader
@@ -75,6 +169,9 @@ def main():
         print(json.dumps({"error": "native library unavailable; "
                                    "run `make -C native`"}))
         return 1
+
+    if args.eval_ab:
+        return eval_ab(args)
 
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as td:

@@ -119,10 +119,15 @@ def make_val_loader(dataset, batch_size: int, num_workers: int = 8,
 
     Prefers the native C++ pipeline (native_loader.NativeEvalLoader —
     identical image/label geometry, decode+letterbox in the GIL-free
-    C++ pool) when the .so is available, because the Python cv2 thread
-    loader makes eval wall-time host-bound on busy/small hosts
-    (BENCH.md "eval loader A/B"). `native`: "auto" (use it if present),
-    "on" (require it), "off" (Python loader — the parity oracle path).
+    C++ pool) when the .so is available: on a multi-core host its
+    decode scales at ~415 GIL-free decodes/s/core while the eval
+    loop's own host work (TP matching, AP) is GIL-bound python that
+    cv2 worker threads would contend with. Measured on the 1-core
+    tunnel box the two loaders are at parity and the e2e eval wall is
+    elsewhere (BENCH.md "eval loader A/B"); contract equality is
+    pinned per-batch, so switching is free. `native`: "auto" (use it
+    if present), "on" (require it), "off" (Python loader — the parity
+    oracle path).
     """
     if native not in ("auto", "on", "off"):
         raise ValueError(f"native must be auto|on|off, got {native!r}")

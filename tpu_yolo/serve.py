@@ -110,8 +110,10 @@ class Detector:
         False emits each anchor's argmax class only — the standard
         production simplification; candidate ranking collapses to one
         fused max+argmax pass (ops/nms.py::_rank_candidates_singlelabel).
-        Throughput/agreement measurements: BENCH.md "single-label
-        serving"."""
+        A SEMANTICS knob, not a throughput one: measured a wash at the
+        serving config (both rankings are bound by the same full read
+        of the score tensor), with object-level recall 1.0000 on
+        clustered scenes — BENCH.md "single-label serving"."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
