@@ -170,17 +170,21 @@ def _rank_candidates_singlelabel(scores3, k: int, ranking: str,
     candidate per anchor.
 
     Returns (scores, anchor_idx, cls_idx), each (B, K), score-desc."""
-    b, a, nc = scores3.shape
     anchor_max = jnp.max(scores3, axis=-1)                  # (B, A)
     cls = jnp.argmax(scores3, axis=-1).astype(jnp.int32)    # (B, A)
-    if ranking == "approx" and a > 4 * k and \
-            jax.default_backend() == "tpu":
-        top, aidx = jax.lax.approx_max_k(anchor_max, k,
-                                         recall_target=recall)
-    else:
-        top, aidx = jax.lax.top_k(anchor_max, k)
+    top, aidx = _rank_anchor_plane(anchor_max, k, ranking, recall)
     cls_idx = jnp.take_along_axis(cls, aidx, axis=1)
     return top, aidx, cls_idx
+
+
+def _rank_anchor_plane(anchor_max, k: int, ranking: str, recall: float):
+    """Top-K anchors of a (B, A) per-anchor score plane (ties -> lower
+    anchor index; approx_max_k on TPU for the serving knob)."""
+    a = anchor_max.shape[-1]
+    if ranking == "approx" and a > 4 * k and \
+            jax.default_backend() == "tpu":
+        return jax.lax.approx_max_k(anchor_max, k, recall_target=recall)
+    return jax.lax.top_k(anchor_max, k)
 
 
 @functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking", "approx_recall", "pregate", "multi_label"))
@@ -299,15 +303,6 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     a = dist.shape[1]
 
     k = min(max_nms, a * nc if multi_label else a, 8192)
-    # Flatten each level's class block to 2D FIRST and concat on the
-    # minor axis — element order is identical to
-    # concat(level maps, axis=1).reshape(b, a*nc) (anchor-major,
-    # class-minor, levels in order), but the 3D (B, A, nc) concat +
-    # reshape lowered to a separate {0,1}->{1,0} transpose copy of the
-    # 172 MB score matrix (profiled 0.5 ms/batch at bs128, copy.185);
-    # the 2D concat writes the ranking operand in its final layout.
-    flat = jnp.concatenate([m[..., reg4:].reshape(b, -1)
-                            for m in raw_maps], axis=1)    # (B, A*nc)
     if pregate is None:
         pregate = ranking == "exact"   # measured policy — see
         # _rank_candidates_pregated docstring (2x exact, -15% approx)
@@ -315,9 +310,35 @@ def nms_from_raw(raw_maps, cfg, input_hw,
         # One candidate per anchor (argmax class) on the raw bf16
         # logits — monotone in the sigmoid scores, ties as in the
         # multi-label order (_rank_candidates_singlelabel docstring).
-        top_logits, anchor_idx, cls_idx = _rank_candidates_singlelabel(
-            flat.reshape(b, a, nc), k, ranking, approx_recall)
-    elif pregate and a > k:
+        # Computed PER LEVEL straight off the head maps: the nc-wide
+        # max/argmax fuses with each level's minor-axis slice, so the
+        # multi-label path's (B, A*nc) ranking-operand concat (172 MB
+        # at bs128/640) is never materialized — the levels only meet
+        # at the tiny (B, A) planes. Bit-identical to reducing the
+        # concatenated tensor (same values, same order, same
+        # tie-breaks).
+        maxs, args = [], []
+        for m in raw_maps:
+            c = m[..., reg4:].reshape(b, -1, nc)
+            maxs.append(jnp.max(c, axis=-1))
+            args.append(jnp.argmax(c, axis=-1).astype(jnp.int32))
+        anchor_max = jnp.concatenate(maxs, axis=1)             # (B, A)
+        cls_map = jnp.concatenate(args, axis=1)                # (B, A)
+        top_logits, anchor_idx = _rank_anchor_plane(
+            anchor_max, k, ranking, approx_recall)
+        cls_idx = jnp.take_along_axis(cls_map, anchor_idx, axis=1)
+    else:
+        # Flatten each level's class block to 2D FIRST and concat on
+        # the minor axis — element order is identical to
+        # concat(level maps, axis=1).reshape(b, a*nc) (anchor-major,
+        # class-minor, levels in order), but the 3D (B, A, nc) concat +
+        # reshape lowered to a separate {0,1}->{1,0} transpose copy of
+        # the 172 MB score matrix (profiled 0.5 ms/batch at bs128,
+        # copy.185); the 2D concat writes the ranking operand in its
+        # final layout.
+        flat = jnp.concatenate([m[..., reg4:].reshape(b, -1)
+                                for m in raw_maps], axis=1)   # (B, A*nc)
+    if multi_label and pregate and a > k:
         # Per-anchor pre-gate: provably the same top-K candidate set
         # (see _rank_candidates_pregated), ranked at 1/nc the sort
         # size — the (B, A, nc) view of the 2D concat is a free
@@ -329,7 +350,7 @@ def nms_from_raw(raw_maps, cfg, input_hw,
         # the winners below.
         top_logits, anchor_idx, cls_idx = _rank_candidates_pregated(
             flat.reshape(b, a, nc), k, ranking, approx_recall)
-    else:
+    elif multi_label:
         if ranking == "exact":
             flat = flat.astype(jnp.float32)
         top_logits, top_idx = _rank_candidates(flat, k, ranking,

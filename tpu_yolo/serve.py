@@ -109,11 +109,13 @@ class Detector:
         anchor can emit several detections, one per above-conf class.
         False emits each anchor's argmax class only — the standard
         production simplification; candidate ranking collapses to one
-        fused max+argmax pass (ops/nms.py::_rank_candidates_singlelabel).
-        A SEMANTICS knob, not a throughput one: measured a wash at the
-        serving config (both rankings are bound by the same full read
-        of the score tensor), with object-level recall 1.0000 on
-        clustered scenes — BENCH.md "single-label serving"."""
+        fused per-level max+argmax that never materializes the
+        multi-label path's (B, A*nc) ranking operand. The fastest
+        measured serving point (+2.2-2.8% over multi-label at
+        bs128/K1024; object-level recall 1.0000 on clustered scenes —
+        BENCH.md "single-label serving") but opt-in, because it
+        changes detection semantics: an anchor with two above-conf
+        classes emits one detection, not two."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
