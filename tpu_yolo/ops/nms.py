@@ -282,7 +282,10 @@ def nms_from_raw(raw_maps, cfg, input_hw,
         candidate: gathering (B, K, 4) decoded boxes beats gathering
         (B, K, 4*reg_max) logits and decoding candidates (~12% e2e,
         BENCH.md) — the gather cost is per-ROW (scalar core), so narrow
-        rows win.
+        rows win. The bulk decode runs PER LEVEL (round 4): the DFL
+        expectation reduces 64 -> 4 lanes, so each level's result is
+        small and the (B, A, 64) dist concat is never materialized
+        (+1.5-2.5% serving, bit-identical — BENCH.md).
 
     Measured and rejected (bench.py A/B, 2026-08-17): ranking each head
     level separately with approx_max_k and merging the 3*K survivors
@@ -298,9 +301,7 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     b = raw_maps[0].shape[0]
     nc = cfg.num_classes
     reg4 = 4 * cfg.reg_max
-    dist = jnp.concatenate([m[..., :reg4].reshape(b, -1, reg4)
-                            for m in raw_maps], axis=1)   # (B, A, 64)
-    a = dist.shape[1]
+    a = sum(m.shape[1] * m.shape[2] for m in raw_maps)
 
     k = min(max_nms, a * nc if multi_label else a, 8192)
     if pregate is None:
@@ -362,7 +363,22 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     anchors = jnp.asarray(anchors, jnp.float32)          # (A, 2)
     stride_t = jnp.asarray(stride_t, jnp.float32)        # (A, 1)
 
-    boxes = dfl_decode(dist, anchors, cfg.reg_max, xywh=False) * stride_t
+    # Bulk-decode boxes PER LEVEL: the DFL expectation is a reduce over
+    # reg_max bins, so each level's result is a small (B, A_l, 4) f32 —
+    # the (B, A, 64) dist concat that used to feed one global decode
+    # (86 MB bf16 write+read at bs128/640) is never materialized, and
+    # the bin reduce fuses with the level's minor-axis slice (the same
+    # per-level-reduction rule as the single-label ranking;
+    # ARCHITECTURE §4). Bit-identical: same values, same per-anchor
+    # arithmetic, same concat order.
+    boxes, off = [], 0
+    for m in raw_maps:
+        al = m.shape[1] * m.shape[2]
+        d = m[..., :reg4].reshape(b, al, reg4)
+        boxes.append(dfl_decode(d, anchors[off:off + al], cfg.reg_max,
+                                xywh=False) * stride_t[off:off + al])
+        off += al
+    boxes = jnp.concatenate(boxes, axis=1)               # (B, A, 4) f32
     cand_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
 
     return _suppress(cand_boxes, top_scores, cls_idx, k,
