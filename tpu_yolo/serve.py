@@ -30,6 +30,11 @@ from tpu_yolo.core.config import ModelConfig, get_model_config
 from tpu_yolo.models import yolov11
 
 
+def _leaf_dtype(v):
+    """dtype of a param leaf without materializing/transferring it."""
+    return v.dtype if hasattr(v, "dtype") else np.asarray(v).dtype
+
+
 def image_input_format():
     """Entry Format for the serving program's uint8 NHWC image input on
     a single TPU chip, or None when not applicable (CPU, multi-device).
@@ -144,6 +149,17 @@ class Detector:
             multi_label=multi_label)
         self._pipe = None
         self._decode_threads = decode_threads
+        self._fixed_batch = None  # set by load_compiled (AOT artifact)
+        # Construction knobs, recorded so save_compiled can persist the
+        # exact serving configuration alongside the executable.
+        self._knobs = dict(
+            input_size=input_size, conf_thres=conf_thres,
+            iou_thres=iou_thres, max_det=max_det,
+            compute_dtype=np.dtype(compute_dtype).name,
+            decode_threads=decode_threads, ranking=ranking,
+            device_letterbox=device_letterbox, stage_size=stage_size,
+            max_nms=max_nms, approx_recall=approx_recall,
+            multi_label=multi_label)
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -176,6 +192,144 @@ class Detector:
         self.params = quantize_model(self.params, self.cfg, imgs,
                                      margin=margin)
         return self
+
+    # -- AOT deployment artifact -----------------------------------------
+    _AOT_FORMAT = "tpu_yolo-aot-v1"
+
+    def save_compiled(self, path: str, batch_size: int):
+        """AOT-compile the serving program at a fixed batch and serialize
+        the device EXECUTABLE to `path` (pickle: XLA executable bytes +
+        arg trees + the full Detector configuration). `load_compiled`
+        restores a Detector whose first batch runs immediately — no
+        retrace, no XLA compile, no dependence on a warm compile cache.
+
+        The reference has no deployment artifact at all: its only saved
+        form is a torch module pickle that retraces/re-dispatches under
+        the Python interpreter at every start (reference main.py:207-216,
+        237-251). The TPU-native artifact is the compiled program itself.
+
+        AOT contract: the artifact is pinned to the device kind, backend
+        and jax/XLA version that built it (asserted at load — the
+        executable's ISA is not portable); weights stay OUTSIDE the
+        artifact and load from the usual checkpoint, so one artifact
+        serves every fine-tune of the same architecture."""
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        if self._dp is not None:
+            raise NotImplementedError(
+                "save_compiled serializes the single-chip serving program;"
+                " multi-chip Detector(dp=...) executables are not portable"
+                " across mesh construction — rebuild the Detector instead")
+        pspec = jax.tree_util.tree_map(
+            lambda v: jax.ShapeDtypeStruct(np.shape(v), _leaf_dtype(v)),
+            self.params)
+        size = self.input_size
+        # Pin every entry to ONE device: an unconstrained lowering on a
+        # multi-device backend (the 8-device virtual CPU test mesh)
+        # compiles a replicated executable whose arguments single-device
+        # callers cannot satisfy. On the real single-chip target this is
+        # the identity; the image entry keeps the serving Format when
+        # the layout pin applies (image_input_format).
+        from jax.sharding import SingleDeviceSharding
+        one = SingleDeviceSharding(jax.devices()[0])
+        if self.device_letterbox:
+            args = (pspec,
+                    jax.ShapeDtypeStruct(
+                        (batch_size, self.stage_size, self.stage_size, 3),
+                        jnp.uint8),
+                    jax.ShapeDtypeStruct((batch_size, 2), jnp.float32))
+            step = self._step_staged
+            fn = jax.jit(lambda p, x, hw: step(p, x, hw),
+                         in_shardings=(one, one, one))
+        else:
+            args = (pspec,
+                    jax.ShapeDtypeStruct((batch_size, size, size, 3),
+                                         jnp.uint8))
+            step = self._step  # jit object (pinned layout) or partial
+            fn = jax.jit(lambda p, x: step(p, x),
+                         in_shardings=(one, self._img_fmt or one))
+        exe_bytes, in_tree, out_tree = se.serialize(fn.lower(*args).compile())
+        dev = jax.devices()[0]
+        artifact = {
+            "format": self._AOT_FORMAT,
+            "exe": exe_bytes, "in_tree": in_tree, "out_tree": out_tree,
+            "staged": bool(self.device_letterbox),
+            "batch_size": int(batch_size),
+            "cfg": self.cfg, "knobs": dict(self._knobs),
+            "params_spec": jax.tree_util.tree_map(
+                lambda v: (tuple(np.shape(v)), str(_leaf_dtype(v))),
+                self.params),
+            "jax_version": jax.__version__,
+            "platform": dev.platform, "device_kind": dev.device_kind,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(artifact, f)
+        return path
+
+    @classmethod
+    def load_compiled(cls, path: str, params):
+        """Restore a Detector from a `save_compiled` artifact + weights.
+
+        `params` is the folded-BN param pytree (e.g. from
+        `from_checkpoint(...).params` or io.weights) and must match the
+        architecture the artifact was compiled for — structure, shapes
+        and dtypes are checked before the executable loads. Returns a
+        Detector locked to the artifact's batch size (detect_batch
+        asserts it; stream() adopts it automatically)."""
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            art = pickle.load(f)
+        if art.get("format") != cls._AOT_FORMAT:
+            raise ValueError(f"{path}: not a {cls._AOT_FORMAT} artifact")
+        dev = jax.devices()[0]
+        for key, got in (("platform", dev.platform),
+                         ("device_kind", dev.device_kind),
+                         ("jax_version", jax.__version__)):
+            if art[key] != got:
+                raise RuntimeError(
+                    f"AOT artifact {path} was compiled for {key}="
+                    f"{art[key]!r} but this process has {got!r}; "
+                    f"serialized executables are not portable — "
+                    f"re-run save_compiled on this environment")
+        want = art["params_spec"]
+        have = jax.tree_util.tree_map(
+            lambda v: (tuple(np.shape(v)), str(_leaf_dtype(v))), params)
+        if want != have:
+            is_spec = lambda x: isinstance(x, tuple)  # noqa: E731
+            wl, wt = jax.tree_util.tree_flatten_with_path(want,
+                                                          is_leaf=is_spec)
+            hl, ht = jax.tree_util.tree_flatten_with_path(have,
+                                                          is_leaf=is_spec)
+            if wt != ht:
+                detail = "param tree structures differ"
+            else:
+                detail = next(
+                    f"first mismatch at "
+                    f"{jax.tree_util.keystr(kp)}: artifact {w} vs {h}"
+                    for (kp, w), (_, h) in zip(wl, hl) if w != h)
+            raise ValueError(
+                f"params do not match the artifact's architecture: {detail}")
+        knobs = dict(art["knobs"])
+        knobs["compute_dtype"] = np.dtype(knobs["compute_dtype"]).type
+        det = cls(params, art["cfg"], **knobs)
+        det.params = jax.device_put(det.params)  # stage weights once
+        # the artifact is a single-device program (save_compiled pins
+        # every entry); without execution_devices the loader binds it
+        # to ALL local devices and rejects single-shard arguments
+        call = se.deserialize_and_load(art["exe"], art["in_tree"],
+                                       art["out_tree"],
+                                       execution_devices=[dev])
+        if art["staged"]:
+            det._step_staged = call
+        else:
+            det._step = call
+        det._fixed_batch = art["batch_size"]
+        return det
 
     # -- host decode ------------------------------------------------------
     def _decode_batch(self, paths: list[str]):
@@ -290,6 +444,12 @@ class Detector:
     # -- inference --------------------------------------------------------
     def detect_batch(self, images_u8: np.ndarray):
         """(B, S, S, 3) uint8 RGB -> device result dict (letterbox coords)."""
+        if (self._fixed_batch is not None
+                and len(images_u8) != self._fixed_batch):
+            raise ValueError(
+                f"this Detector was loaded from an AOT artifact compiled "
+                f"for batch_size={self._fixed_batch}; got a batch of "
+                f"{len(images_u8)} (pad it, or save_compiled at this size)")
         if self._dp is not None:
             x = self._dp.shard_batch(jnp.asarray(images_u8))
         elif self._img_fmt is not None:
@@ -301,7 +461,11 @@ class Detector:
     def stream(self, paths: Iterable[str], batch_size: int = 64,
                rescale: bool = True) -> Iterator[dict]:
         """Double-buffered streaming over image paths; yields one dict per
-        image: {path, boxes (N,4) xyxy original pixels, scores, classes}."""
+        image: {path, boxes (N,4) xyxy original pixels, scores, classes}.
+        A Detector restored by load_compiled streams at the artifact's
+        compiled batch size regardless of `batch_size`."""
+        if self._fixed_batch is not None:
+            batch_size = self._fixed_batch
         paths = list(paths)
         batches = [paths[i:i + batch_size]
                    for i in range(0, len(paths), batch_size)]
