@@ -51,9 +51,11 @@ def build_step(cfg, params, batch):
 
 
 def stage_images(arr, fmt):
-    """device_put a uint8 image batch in the serving entry layout."""
-    import jax
-    return jax.device_put(arr, fmt) if fmt is not None else jax.device_put(arr)
+    """device_put a uint8 image batch in the serving entry layout,
+    verifying the committed layout (the relay can drop the request —
+    see serve.stage_pinned)."""
+    from tpu_yolo.serve import stage_pinned
+    return stage_pinned(arr, fmt)
 
 
 def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):

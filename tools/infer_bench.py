@@ -336,7 +336,17 @@ def main():
     pool = [_make(rng) for _ in range(args.pool)]
 
     for i in range(args.warmup):
-        jax.block_until_ready(step(params, pool[i % args.pool]))
+        try:
+            jax.block_until_ready(step(params, pool[i % args.pool]))
+        except ValueError as e:
+            # Staged buffers can lose the pinned entry layout across a
+            # long cold compile through the relay (observed 2026-08-19,
+            # v11-m ~17 min compile). Re-stage the pool once and retry.
+            if "layout" not in str(e).lower():
+                raise
+            rng2 = np.random.default_rng(0)
+            pool = [_make(rng2) for _ in range(args.pool)]
+            jax.block_until_ready(step(params, pool[i % args.pool]))
 
     if args.profile:
         jax.profiler.start_trace(args.profile)

@@ -58,6 +58,29 @@ def image_input_format():
         return None
 
 
+def stage_pinned(arr, fmt):
+    """device_put `arr` in the pinned serving entry Format, VERIFYING the
+    committed layout and retrying once on mismatch.
+
+    Through the relay transport the layout request is occasionally
+    dropped (observed once 2026-08-19: a (64,640,640,3) uint8 batch
+    committed with the default {2,1,3,0} layout despite the Format
+    argument, which then fails the pinned jit's arg-layout check).
+    A second device_put has always honored the pin; if it still does
+    not, raise with a clear message rather than the jit's opaque one.
+    """
+    if fmt is None:
+        return jax.device_put(arr)
+    for _ in range(2):
+        x = jax.device_put(arr, fmt)
+        if x.format.layout == fmt.layout:
+            return x
+        x.delete()
+    raise RuntimeError(
+        f"device_put did not honor the pinned entry layout twice in a row "
+        f"(wanted {fmt.layout}); transfer path is misbehaving")
+
+
 class Detector:
     """Batched streaming detector.
 
@@ -453,7 +476,7 @@ class Detector:
         if self._dp is not None:
             x = self._dp.shard_batch(jnp.asarray(images_u8))
         elif self._img_fmt is not None:
-            x = jax.device_put(np.asarray(images_u8), self._img_fmt)
+            x = stage_pinned(np.asarray(images_u8), self._img_fmt)
         else:
             x = jnp.asarray(images_u8)
         return self._step(self.params, x)
