@@ -47,13 +47,17 @@ def build_step(cfg, params, batch):
     fmt = image_input_format()
     step = jax.jit(f) if fmt is None else jax.jit(
         f, in_shardings=(None, fmt))
-    return step, fmt
+    # f returned too so callers can rebuild an UNPINNED step when the
+    # transfer path refuses the pin for their batch shape (stage_images).
+    return step, fmt, f
 
 
 def stage_images(arr, fmt):
-    """device_put a uint8 image batch in the serving entry layout,
-    verifying the committed layout (the relay can drop the request —
-    see serve.stage_pinned)."""
+    """device_put a uint8 image batch requesting the serving entry
+    layout; returns (array, pin_held). The transfer path deterministically
+    ignores the request for some shapes — on pin_held=False the caller
+    must switch to an unpinned jit entry (the returned default-layout
+    buffer is what that entry accepts). See serve.stage_pinned."""
     from tpu_yolo.serve import stage_pinned
     return stage_pinned(arr, fmt)
 
@@ -73,11 +77,13 @@ def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
     # gain does not repay. Kept as an opt-in transform only.
     params = yolov11.fold_input_scale(yolov11.fold_batchnorm(
         yolov11.init_params(jax.random.PRNGKey(0), cfg)))
-    step, fmt = build_step(cfg, params, batch)
+    step, fmt, f = build_step(cfg, params, batch)
 
     rng = np.random.default_rng(0)
-    images = stage_images(
+    images, pin_held = stage_images(
         rng.integers(0, 256, (batch, size, size, 3), np.uint8), fmt)
+    if not pin_held:  # poisoned shape: unpinned entry (stage_images doc)
+        fmt, step = None, jax.jit(f)
 
     for _ in range(warmup):
         jax.block_until_ready(step(params, images))
@@ -97,8 +103,11 @@ def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
 
     # p50 single-image latency — distinct inputs each call (the relay
     # dedupes identical-input executions, CLAUDE.md)
-    ones = [stage_images(rng.integers(0, 256, (1, size, size, 3), np.uint8),
-                         fmt) for _ in range(8)]
+    staged = [stage_images(rng.integers(0, 256, (1, size, size, 3),
+                                        np.uint8), fmt) for _ in range(8)]
+    ones = [x for x, _ in staged]
+    if fmt is not None and not all(ok for _, ok in staged):
+        step = jax.jit(f)  # bs=1 shape poisoned independently of `batch`
     jax.block_until_ready(step(params, ones[0]))
     jax.block_until_ready(step(params, ones[1]))
     lat = []

@@ -316,10 +316,11 @@ def main():
         def _f(p, images):
             return yolov11.forward_nms(p, images.astype(jnp.bfloat16), cfg,
                                        **kw)
+        raw_f = _f
         step = jax.jit(_f) if fmt is None else jax.jit(
             _f, in_shardings=(None, fmt))
     else:
-        step, fmt = build_step(cfg, params, args.batch)
+        step, fmt, raw_f = build_step(cfg, params, args.batch)
 
     from bench import stage_images
     rng = np.random.default_rng(0)
@@ -330,23 +331,22 @@ def main():
         if args.s2d_host:
             # staged batches arrive pre-rearranged on host: same bytes,
             # no on-device transpose pass before the s2d stem conv
-            return jax.device_put(yolov11.space_to_depth_host(img))
+            return jax.device_put(yolov11.space_to_depth_host(img)), True
         return stage_images(img, fmt)
 
-    pool = [_make(rng) for _ in range(args.pool)]
+    staged = [_make(rng) for _ in range(args.pool)]
+    pool = [x for x, _ in staged]
+    if fmt is not None and not all(ok for _, ok in staged):
+        # The transfer path deterministically ignores the entry-layout
+        # pin for some shapes, e.g. (64,640,640,3) u8 — serve.stage_pinned.
+        # The default-layout pool is what an unpinned entry accepts.
+        print(f"# entry layout pin refused for batch shape "
+              f"{tuple(pool[0].shape)}; benching the unpinned entry",
+              file=sys.stderr)
+        fmt, step = None, jax.jit(raw_f)
 
     for i in range(args.warmup):
-        try:
-            jax.block_until_ready(step(params, pool[i % args.pool]))
-        except ValueError as e:
-            # Staged buffers can lose the pinned entry layout across a
-            # long cold compile through the relay (observed 2026-08-19,
-            # v11-m ~17 min compile). Re-stage the pool once and retry.
-            if "layout" not in str(e).lower():
-                raise
-            rng2 = np.random.default_rng(0)
-            pool = [_make(rng2) for _ in range(args.pool)]
-            jax.block_until_ready(step(params, pool[i % args.pool]))
+        jax.block_until_ready(step(params, pool[i % args.pool]))
 
     if args.profile:
         jax.profiler.start_trace(args.profile)

@@ -59,26 +59,26 @@ def image_input_format():
 
 
 def stage_pinned(arr, fmt):
-    """device_put `arr` in the pinned serving entry Format, VERIFYING the
-    committed layout and retrying once on mismatch.
+    """device_put `arr` requesting the pinned serving entry Format;
+    returns `(array, pin_held)`.
 
-    Through the relay transport the layout request is occasionally
-    dropped (observed once 2026-08-19: a (64,640,640,3) uint8 batch
-    committed with the default {2,1,3,0} layout despite the Format
-    argument, which then fails the pinned jit's arg-layout check).
-    A second device_put has always honored the pin; if it still does
-    not, raise with a clear message rather than the jit's opaque one.
-    """
+    The transfer path can IGNORE the layout request, deterministically
+    per shape: measured 2026-08-19, a (64,640,640,3) uint8 batch commits
+    with the default {0,3,1,2:T(8,128)} layout on EVERY device_put in
+    every process, while 63/65/96/128-image batches honor the pin.
+    Nothing recovers the pin for such a shape: retrying returns the same
+    default layout, device-to-device device_put ignores the Format too,
+    and a jitted identity with the pinned output Format produces a buffer
+    whose metadata claims the pin but whose bytes the backend then
+    rejects (INVALID_ARGUMENT) or hangs on at execution.  Callers must
+    therefore check `pin_held` and fall back to an UNPINNED entry program
+    when False — the returned default-layout buffer is exactly what an
+    unconstrained jit entry accepts, so it stays usable either way
+    (Detector.detect_batch demotes itself this way)."""
     if fmt is None:
-        return jax.device_put(arr)
-    for _ in range(2):
-        x = jax.device_put(arr, fmt)
-        if x.format.layout == fmt.layout:
-            return x
-        x.delete()
-    raise RuntimeError(
-        f"device_put did not honor the pinned entry layout twice in a row "
-        f"(wanted {fmt.layout}); transfer path is misbehaving")
+        return jax.device_put(arr), True
+    x = jax.device_put(arr, fmt)
+    return x, x.format.layout == fmt.layout
 
 
 class Detector:
@@ -160,6 +160,7 @@ class Detector:
         # disappears (image_input_format docstring; bench.py mirrors
         # this). The dp/letterbox paths keep unconstrained entries.
         self._img_fmt = None if dp is not None else image_input_format()
+        self._step_unpinned = self._step
         if self._img_fmt is not None:
             base = self._step
             self._step = jax.jit(lambda p, x: base(p, x),
@@ -476,7 +477,23 @@ class Detector:
         if self._dp is not None:
             x = self._dp.shard_batch(jnp.asarray(images_u8))
         elif self._img_fmt is not None:
-            x = stage_pinned(np.asarray(images_u8), self._img_fmt)
+            x, pin_held = stage_pinned(np.asarray(images_u8), self._img_fmt)
+            if not pin_held:
+                if self._fixed_batch is not None:
+                    raise RuntimeError(
+                        f"the transfer path ignores the entry layout pin "
+                        f"for batch shape {tuple(np.shape(images_u8))} "
+                        f"(see stage_pinned), and this Detector runs an "
+                        f"AOT artifact compiled with a pinned entry; "
+                        f"re-run save_compiled at a different batch size")
+                import warnings
+                warnings.warn(
+                    f"entry layout pin not honored for batch shape "
+                    f"{tuple(np.shape(images_u8))}; falling back to the "
+                    f"unpinned serving program (in-program relayout, "
+                    f"~4.5% slower — stage_pinned docstring)")
+                self._img_fmt = None
+                self._step = self._step_unpinned
         else:
             x = jnp.asarray(images_u8)
         return self._step(self.params, x)
