@@ -181,3 +181,45 @@ def test_device_letterbox_matches_host_path(jpeg_dir):
     ia, ib = int(np.argmax(a["scores"])), int(np.argmax(b["scores"]))
     np.testing.assert_allclose(a["boxes"][ia], b["boxes"][ib], atol=4.0)
     assert a["classes"][ia] == b["classes"][ib]
+
+
+def test_pin_refusal_demotes_to_unpinned(monkeypatch):
+    """stage_pinned reporting pin_held=False must demote the Detector to
+    its unpinned entry program permanently and warn once (the relay can
+    deterministically refuse the entry-layout pin for an exact shape —
+    serve.stage_pinned docstring, measured 2026-08-19)."""
+    import warnings
+
+    from tpu_yolo import serve
+
+    det = _tiny_detector()
+    batch = np.zeros((2, 128, 128, 3), np.uint8)
+    ref = det.detect_batch(batch)  # CPU: unpinned baseline result
+
+    # simulate a TPU Detector whose pin is refused for this shape
+    det._img_fmt = object()
+    monkeypatch.setattr(serve, "stage_pinned",
+                        lambda arr, fmt: (jax.numpy.asarray(arr), False))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = det.detect_batch(batch)
+    assert any("entry layout pin" in str(x.message) for x in w)
+    assert det._img_fmt is None and det._step is det._step_unpinned
+    np.testing.assert_allclose(np.asarray(out["count"]),
+                               np.asarray(ref["count"]))
+    # demotion is permanent: no further stage_pinned involvement
+    det.detect_batch(batch)
+
+
+def test_pin_refusal_on_aot_artifact_raises(monkeypatch):
+    """An AOT-restored Detector cannot rebuild its pinned executable; a
+    refused pin must raise with a clear message, not demote."""
+    from tpu_yolo import serve
+
+    det = _tiny_detector()
+    det._img_fmt = object()
+    det._fixed_batch = 2
+    monkeypatch.setattr(serve, "stage_pinned",
+                        lambda arr, fmt: (jax.numpy.asarray(arr), False))
+    with pytest.raises(RuntimeError, match="layout pin"):
+        det.detect_batch(np.zeros((2, 128, 128, 3), np.uint8))
