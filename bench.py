@@ -62,6 +62,31 @@ def stage_images(arr, fmt):
     return stage_pinned(arr, fmt)
 
 
+def escape_refused_pin():
+    """Re-exec this process with the entry-layout pin disabled
+    (TPU_YOLO_NO_PIN=1, honored by serve.image_input_format). Returns
+    only if the env is already set (then the caller demotes in-process).
+
+    Needed because a refused pin request does not just fall back: it can
+    wedge the requesting relay client — measured 2026-08-19 on
+    (64,640,640,3) u8, after the refusal EVERY subsequent device_put or
+    execution in the process raises INVALID_ARGUMENT, while a fresh
+    process that never requests the pin transfers and executes the same
+    shape fine. The verdict is per-client (a sibling process had the
+    same shape's pin honored moments later), so it cannot be probed
+    externally; the only reliable recovery is a fresh client that never
+    asks. Relay-container quirk; real TPU hosts honor or ignore the
+    Format without side effects."""
+    import sys
+    if os.environ.get("TPU_YOLO_NO_PIN"):
+        return
+    os.environ["TPU_YOLO_NO_PIN"] = "1"
+    print("# entry-layout pin refused (a refused pin can wedge this "
+          "relay client); restarting the benchmark unpinned",
+          file=sys.stderr, flush=True)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -82,8 +107,9 @@ def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
     rng = np.random.default_rng(0)
     images, pin_held = stage_images(
         rng.integers(0, 256, (batch, size, size, 3), np.uint8), fmt)
-    if not pin_held:  # poisoned shape: unpinned entry (stage_images doc)
-        fmt, step = None, jax.jit(f)
+    if not pin_held:
+        escape_refused_pin()  # re-execs unpinned; returns only if it was
+        fmt, step = None, jax.jit(f)  # already — demote in-process
 
     for _ in range(warmup):
         jax.block_until_ready(step(params, images))
@@ -107,7 +133,8 @@ def run(batch: int = 128, size: int = 640, iters: int = 20, warmup: int = 5):
                                         np.uint8), fmt) for _ in range(8)]
     ones = [x for x, _ in staged]
     if fmt is not None and not all(ok for _, ok in staged):
-        step = jax.jit(f)  # bs=1 shape poisoned independently of `batch`
+        escape_refused_pin()  # bs=1 pin refused independently of `batch`
+        step = jax.jit(f)
     jax.block_until_ready(step(params, ones[0]))
     jax.block_until_ready(step(params, ones[1]))
     lat = []

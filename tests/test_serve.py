@@ -1,4 +1,6 @@
 """Serving pipeline: streaming batches, coordinate rescale, failure slots."""
+import os
+
 import numpy as np
 import pytest
 
@@ -209,6 +211,37 @@ def test_pin_refusal_demotes_to_unpinned(monkeypatch):
                                np.asarray(ref["count"]))
     # demotion is permanent: no further stage_pinned involvement
     det.detect_batch(batch)
+
+
+def test_pin_entry_false_never_pins():
+    """pin_entry=False must build the unpinned serving program outright
+    (escape hatch for relay states where the pin REQUEST itself wedges
+    the client — serve.stage_pinned's trailing note)."""
+    det = _tiny_detector(pin_entry=False)
+    assert det._img_fmt is None and det._step is det._step_unpinned
+    out = det.detect_batch(np.zeros((2, 128, 128, 3), np.uint8))
+    assert "count" in out
+
+
+def test_escape_refused_pin_no_reexec_when_disabled(monkeypatch):
+    """With TPU_YOLO_NO_PIN already set, escape_refused_pin must RETURN
+    (caller demotes in-process) instead of re-exec'ing — the re-exec
+    guard that prevents a restart loop."""
+    import bench
+
+    monkeypatch.setenv("TPU_YOLO_NO_PIN", "1")
+    monkeypatch.setattr(os, "execv",
+                        lambda *a: pytest.fail("re-exec'd despite NO_PIN"))
+    bench.escape_refused_pin()
+
+
+def test_no_pin_env_disables_image_input_format(monkeypatch):
+    """TPU_YOLO_NO_PIN=1 must force image_input_format() to None — the
+    contract bench.escape_refused_pin's restart relies on."""
+    from tpu_yolo import serve
+
+    monkeypatch.setenv("TPU_YOLO_NO_PIN", "1")
+    assert serve.image_input_format() is None
 
 
 def test_pin_refusal_on_aot_artifact_raises(monkeypatch):

@@ -322,7 +322,7 @@ def main():
     else:
         step, fmt, raw_f = build_step(cfg, params, args.batch)
 
-    from bench import stage_images
+    from bench import escape_refused_pin, stage_images
     rng = np.random.default_rng(0)
 
     def _make(seed_rng):
@@ -337,12 +337,11 @@ def main():
     staged = [_make(rng) for _ in range(args.pool)]
     pool = [x for x, _ in staged]
     if fmt is not None and not all(ok for _, ok in staged):
-        # The transfer path deterministically ignores the entry-layout
-        # pin for some shapes, e.g. (64,640,640,3) u8 — serve.stage_pinned.
-        # The default-layout pool is what an unpinned entry accepts.
-        print(f"# entry layout pin refused for batch shape "
-              f"{tuple(pool[0].shape)}; benching the unpinned entry",
-              file=sys.stderr)
+        # A refused pin may have wedged this relay client (the buffers
+        # can be corrupt despite committing) — restart unpinned
+        # (bench.escape_refused_pin); demote in-process only if the pin
+        # was already disabled.
+        escape_refused_pin()
         fmt, step = None, jax.jit(raw_f)
 
     for i in range(args.warmup):

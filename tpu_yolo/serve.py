@@ -45,7 +45,15 @@ def image_input_format():
     at bs128/640 — profiler 2026-08-17). Constraining the entry removes
     that device copy (+4.5% e2e) and host->device transfers write the
     tiled layout directly. Callers must device_put staged batches with
-    this same Format (a differently-committed array would error)."""
+    this same Format (a differently-committed array would error).
+
+    TPU_YOLO_NO_PIN=1 disables the pin globally (returns None) — the
+    escape hatch for relay states where a pin request is refused with
+    side effects (see the note after stage_pinned; bench.py re-execs
+    itself under this env when that happens)."""
+    import os
+    if os.environ.get("TPU_YOLO_NO_PIN"):
+        return None
     if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
         return None
     try:
@@ -62,23 +70,39 @@ def stage_pinned(arr, fmt):
     """device_put `arr` requesting the pinned serving entry Format;
     returns `(array, pin_held)`.
 
-    The transfer path can IGNORE the layout request, deterministically
-    per shape: measured 2026-08-19, a (64,640,640,3) uint8 batch commits
-    with the default {0,3,1,2:T(8,128)} layout on EVERY device_put in
-    every process, while 63/65/96/128-image batches honor the pin.
-    Nothing recovers the pin for such a shape: retrying returns the same
-    default layout, device-to-device device_put ignores the Format too,
-    and a jitted identity with the pinned output Format produces a buffer
-    whose metadata claims the pin but whose bytes the backend then
-    rejects (INVALID_ARGUMENT) or hangs on at execution.  Callers must
-    therefore check `pin_held` and fall back to an UNPINNED entry program
-    when False — the returned default-layout buffer is exactly what an
-    unconstrained jit entry accepts, so it stays usable either way
-    (Detector.detect_batch demotes itself this way)."""
+    The transfer path can IGNORE the layout request, per shape AND per
+    client: measured 2026-08-19, a (64,640,640,3) uint8 batch committed
+    with the default {0,3,1,2:T(8,128)} layout on every device_put in
+    one process while 63/65/96/128-image batches honored the pin — and
+    a sibling process moments later had the same (64,...) pin HONORED,
+    so the verdict is a property of the relay client's state, not the
+    shape alone, and cannot be probed from another process.  Within an
+    afflicted process nothing recovers the pin: retrying returns the
+    same default layout, device-to-device device_put ignores the Format
+    too, and a jitted identity with the pinned output Format produces a
+    buffer whose metadata claims the pin but whose bytes the backend
+    then rejects (INVALID_ARGUMENT) or hangs on at execution.  Callers
+    must therefore check `pin_held` and fall back to an UNPINNED entry
+    program when False — the returned default-layout buffer is exactly
+    what an unconstrained jit entry accepts, so it stays usable either
+    way (Detector.detect_batch demotes itself this way)."""
     if fmt is None:
         return jax.device_put(arr), True
     x = jax.device_put(arr, fmt)
     return x, x.format.layout == fmt.layout
+
+
+# One further relay-container failure mode (measured 2026-08-19, same
+# (64,640,640,3) u8 shape): a REFUSED pin request can wedge the
+# requesting relay client itself — after the refusal every subsequent
+# device_put or program execution in the process raises
+# INVALID_ARGUMENT, while a fresh process that never requests the pin
+# transfers and executes the same shape fine.  Real TPU hosts honor or
+# ignore a Format without side effects; on the relay, the recovery is
+# a fresh process that never requests the pin: construct the Detector
+# with pin_entry=False / set TPU_YOLO_NO_PIN=1 (bench.py and
+# tools/infer_bench.py re-exec themselves under that env when they see
+# a refusal).
 
 
 class Detector:
@@ -97,7 +121,8 @@ class Detector:
                  device_letterbox: bool = False, stage_size: int = 960,
                  max_nms: int = 1024,
                  approx_recall: float = 0.9,
-                 multi_label: bool = True):
+                 multi_label: bool = True,
+                 pin_entry: bool = True):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
         every local chip (batch_size must divide the data-axis size).
@@ -143,7 +168,14 @@ class Detector:
         bs128/K1024; object-level recall 1.0000 on clustered scenes —
         BENCH.md "single-label serving") but opt-in, because it
         changes detection semantics: an anchor with two above-conf
-        classes emits one detection, not two."""
+        classes emits one detection, not two.
+
+        `pin_entry`: False skips the image entry-layout pin entirely
+        (unpinned serving program, in-program relayout, ~4.5% slower).
+        Use it when the transfer path refuses the pin for your batch
+        shape AND the refusal has side effects — on the bench relay a
+        refused pin request wedges the whole client process (see the
+        note after stage_pinned); real hosts never need this."""
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
@@ -159,7 +191,8 @@ class Detector:
         # stem conv's preferred tiling so the in-program relayout copy
         # disappears (image_input_format docstring; bench.py mirrors
         # this). The dp/letterbox paths keep unconstrained entries.
-        self._img_fmt = None if dp is not None else image_input_format()
+        self._img_fmt = (None if (dp is not None or not pin_entry)
+                         else image_input_format())
         self._step_unpinned = self._step
         if self._img_fmt is not None:
             base = self._step
