@@ -120,10 +120,21 @@ def test_evaluate_loop_with_ragged_final_batch():
         def __len__(self):
             return 3
 
+    env = {}
     m_ap, m_ap50, recall, precision = evaluate(
-        params, L(), tiny, input_size=64, compute_dtype=jnp.float32)
+        params, L(), tiny, input_size=64, compute_dtype=jnp.float32,
+        envelope_stats=env)
     for v in (m_ap, m_ap50, recall, precision):
         assert isinstance(v, float) and 0.0 <= v <= 1.0
+    # candidate-envelope certificate accumulated over the REAL (unpadded)
+    # images only; random weights put ~every candidate above conf=0.001,
+    # so the population must be counted and the budget recorded
+    assert env["images"] == 10
+    a_nc = (8 * 8 + 4 * 4 + 2 * 2) * 2     # 84 anchors x 2 classes
+    assert env["budget"] == min(2048, a_nc, 8192) == a_nc
+    assert 0 < env["max_above_conf"] <= a_nc
+    # budget == full candidate space here -> spill is impossible
+    assert env["at_risk"] == 0
 
 
 def test_evaluate_sharded_with_ragged_final_batch():

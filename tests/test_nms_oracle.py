@@ -40,10 +40,14 @@ def _iou_f32(box, others):
 
 
 def oracle_nms_image(boxes_xyxy, scores2d, conf, iou_thr, max_det,
-                     multi_label=True):
+                     multi_label=True, max_nms=None):
     """Sorted-greedy NMS for one image.
 
     boxes_xyxy: (A, 4); scores2d: (A, nc).
+    max_nms: optional candidate budget with the REFERENCE's semantics
+    (util.py:125,134): above-conf candidates are sorted by score and
+    only the first max_nms enter NMS at all — the oracle for the
+    candidate-envelope study. None ranks everything.
     Returns (boxes (M,4), scores (M,), classes (M,)) of the kept
     detections in score order, M <= max_det."""
     a, nc = scores2d.shape
@@ -60,6 +64,12 @@ def oracle_nms_image(boxes_xyxy, scores2d, conf, iou_thr, max_det,
         anchor_idx = order
         cls_idx = cls[order]
         cand_scores = best[order]
+
+    if max_nms is not None:
+        above = cand_scores > conf
+        keep_n = np.flatnonzero(above)[:max_nms]
+        order, anchor_idx = order[keep_n], anchor_idx[keep_n]
+        cls_idx, cand_scores = cls_idx[keep_n], cand_scores[keep_n]
 
     kept_boxes, kept_scores, kept_cls = [], [], []
     for i in range(len(order)):
@@ -194,6 +204,131 @@ def test_oracle_tiled_suppression():
         dict(conf_thres=conf, iou_thres=0.45, max_det=80, max_nms=k,
              ranking="exact", pregate=False),
         multi_label=True)
+
+
+def _spill_scene():
+    """One image built to spill a K=256 budget: a 300-candidate
+    same-class cluster monopolizes the top ranks (greedy keeps 1 of it),
+    while 200 spread-out lower-scored objects sit entirely BELOW rank
+    256 — the reference's 30k budget finds them, a K=256 budget cannot.
+    This is the dense-scene shape VERDICT r4 flagged as unmeasured:
+    heavy same-class duplication up top + an above-conf tail."""
+    a, nc = 600, 3
+    conf = 0.1
+    rng = np.random.default_rng(11)
+    boxes = np.zeros((a, 4), np.float32)                  # xywh
+    scores = np.zeros((a, nc), np.float32)
+    # cluster: 300 near-identical class-0 boxes, scores 0.9 -> 0.8
+    boxes[:300, :2] = 300.0 + rng.normal(0, 0.5, (300, 2))
+    boxes[:300, 2:] = 80.0
+    scores[:300, 0] = np.linspace(0.9, 0.8, 300)
+    # spread: 200 disjoint class-1 boxes on a grid, scores 0.5 -> 0.3
+    gx, gy = np.meshgrid(np.arange(20), np.arange(10))
+    boxes[300:500, 0] = 40 + gx.ravel()[:200] * 60
+    boxes[300:500, 1] = 40 + gy.ravel()[:200] * 60
+    boxes[300:500, 2:] = 20.0
+    scores[300:500, 1] = np.linspace(0.5, 0.3, 200)
+    # the rest: below conf, must count for nothing
+    boxes[500:, :2] = rng.uniform(0, 600, (100, 2)).astype(np.float32)
+    boxes[500:, 2:] = 10.0
+    scores[500:, 2] = 0.05
+    return np.concatenate([boxes, scores], -1)[None], conf
+
+
+def _oracle_30k(preds, conf, iou_thr, max_det):
+    xy, wh = preds[0, :, :2], preds[0, :, 2:4]
+    xyxy = np.concatenate([xy - wh / 2, xy + wh / 2], -1).astype(np.float32)
+    return oracle_nms_image(xyxy, preds[0, :, 4:], conf, iou_thr, max_det,
+                            multi_label=True, max_nms=30000)
+
+
+def test_envelope_prefix_property():
+    """The candidate-envelope theorem (ops/nms.py module docstring), on
+    the adversarial spill scene: (a) the K=256 output is an EXACT prefix
+    of the reference-budget (max_nms=30000) oracle output even while
+    spilling hard; (b) the envelope certificate flags exactly the spill
+    condition (n_above_conf > K and count < max_det); (c) raising K
+    above the above-conf population restores full equality and clears
+    the flag. This is VERDICT r4 item 2's measurement."""
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.nms import batched_nms
+
+    preds, conf = _spill_scene()
+    iou_thr, max_det = 0.65, 50
+    ob, osc, ocl = _oracle_30k(preds, conf, iou_thr, max_det)
+    assert len(ocl) == max_det  # reference budget fills max_det here
+
+    res = batched_nms(jnp.asarray(preds), conf_thres=conf,
+                      iou_thres=iou_thr, max_det=max_det, max_nms=256,
+                      ranking="exact", envelope=True)
+    n = int(res["count"][0])
+    n_above = int(res["n_above_conf"][0])
+    budget = int(res["candidate_budget"])
+    assert budget == 256
+    assert n_above == 500                      # 300 cluster + 200 spread
+    # the K budget sees only the cluster -> keeps exactly its top box
+    assert n == 1
+    # spill condition flagged: more candidates than budget AND the kept
+    # set did not fill max_det
+    assert n_above > budget and n < max_det
+    # PREFIX: everything the capped path emits equals the head of the
+    # full-budget reference output, bit for bit
+    np.testing.assert_array_equal(np.asarray(res["classes"][0][:n]), ocl[:n])
+    np.testing.assert_allclose(np.asarray(res["scores"][0][:n]), osc[:n],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res["boxes"][0][:n]), ob[:n],
+                               rtol=1e-6, atol=1e-3)
+
+    # K above the above-conf population: full equality, flag clear
+    res2 = batched_nms(jnp.asarray(preds), conf_thres=conf,
+                       iou_thres=iou_thr, max_det=max_det, max_nms=512,
+                       ranking="exact", envelope=True)
+    n2 = int(res2["count"][0])
+    assert n2 == max_det
+    assert not (int(res2["n_above_conf"][0]) > int(res2["candidate_budget"]))
+    np.testing.assert_array_equal(np.asarray(res2["classes"][0][:n2]), ocl)
+    np.testing.assert_allclose(np.asarray(res2["scores"][0][:n2]), osc,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res2["boxes"][0][:n2]), ob,
+                               rtol=1e-6, atol=1e-3)
+
+
+def test_envelope_safe_when_max_det_filled():
+    """The other arm of the theorem: with MORE above-conf candidates
+    than the budget but max_det detections surviving inside the top K,
+    the capped output equals the 30k-budget reference exactly and the
+    certificate does not flag."""
+    import jax.numpy as jnp
+
+    from tpu_yolo.ops.nms import batched_nms
+
+    a, nc = 600, 2
+    conf, iou_thr, max_det = 0.1, 0.65, 100
+    boxes = np.zeros((a, 4), np.float32)
+    scores = np.zeros((a, nc), np.float32)
+    gx, gy = np.meshgrid(np.arange(25), np.arange(20))
+    boxes[:500, 0] = 30 + gx.ravel()[:500] * 55
+    boxes[:500, 1] = 30 + gy.ravel()[:500] * 55
+    boxes[:500, 2:] = 18.0
+    scores[:500, 0] = np.linspace(0.9, 0.3, 500)   # disjoint: all survive
+    boxes[500:, :2] = 200.0
+    boxes[500:, 2:] = 10.0
+    scores[500:, 1] = 0.05                          # below conf
+    preds = np.concatenate([boxes, scores], -1)[None]
+
+    ob, osc, ocl = _oracle_30k(preds, conf, iou_thr, max_det)
+    res = batched_nms(jnp.asarray(preds), conf_thres=conf,
+                      iou_thres=iou_thr, max_det=max_det, max_nms=256,
+                      ranking="exact", envelope=True)
+    n = int(res["count"][0])
+    assert int(res["n_above_conf"][0]) == 500 > 256  # budget exceeded...
+    assert n == max_det                              # ...but max_det filled
+    np.testing.assert_array_equal(np.asarray(res["classes"][0][:n]), ocl)
+    np.testing.assert_allclose(np.asarray(res["scores"][0][:n]), osc,
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res["boxes"][0][:n]), ob,
+                               rtol=1e-6, atol=1e-3)
 
 
 def test_oracle_single_label():

@@ -48,6 +48,13 @@ def parse_args():
     p.add_argument("--plot", action="store_true", help="save eval curves")
     p.add_argument("--tensorboard", action="store_true",
                    help="also log scalars to save-dir/tb (CSV always written)")
+    p.add_argument("--max-nms", default=2048, type=int,
+                   help="eval NMS candidate budget K (capped at 8192). "
+                        "The K-budget output is an exact prefix of the "
+                        "reference's max_nms=30000 output (prefix "
+                        "theorem, ops/nms.py); every eval prints a "
+                        "per-run spill certificate and says when to "
+                        "raise this")
     p.add_argument("--native-eval", default="auto",
                    choices=["auto", "on", "off"],
                    help="eval data loader: native C++ pipeline when the "
@@ -162,7 +169,8 @@ def run_test(args, hyp, cfg, max_images: int | None = None):
         plot_dir=args.save_dir if args.plot else None,
         names=[v for _, v in sorted(hyp["names"].items())],
         device_put_fn=(dp.shard_batch if dp.num_data_shards > 1 else None),
-        progress=True, coco_ctx=coco_ctx)
+        progress=True, coco_ctx=coco_ctx,
+        max_nms=getattr(args, "max_nms", 2048))
 
     if coco_ctx is not None:
         from tpu_yolo.eval.coco_eval import summarize

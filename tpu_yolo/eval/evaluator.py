@@ -32,15 +32,22 @@ IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "conf_thres",
-                                             "iou_thres", "max_det"))
+                                             "iou_thres", "max_det", "max_nms"))
 def predict_step(params, images, *, cfg: ModelConfig,
                  compute_dtype=jnp.bfloat16, conf_thres: float = 0.001,
-                 iou_thres: float = 0.65, max_det: int = 300):
+                 iou_thres: float = 0.65, max_det: int = 300,
+                 max_nms: int = 2048):
     """uint8 NHWC batch -> NMS'd detections, entirely on device (fused
-    decode+NMS path, models.forward_nms)."""
+    decode+NMS path, models.forward_nms).
+
+    envelope=True adds the per-image above-conf candidate count so the
+    eval loop certifies the NMS candidate budget against the reference's
+    max_nms=30000 (util.py:125,134) on every run — see the prefix
+    theorem in ops/nms.py and BENCH.md "Eval NMS candidate envelope"."""
     x = images.astype(compute_dtype) / compute_dtype(255)
     return yolov11.forward_nms(params, x, cfg, conf_thres=conf_thres,
-                               iou_thres=iou_thres, max_det=max_det)
+                               iou_thres=iou_thres, max_det=max_det,
+                               max_nms=max_nms, envelope=True)
 
 
 def _gt_pixel_boxes(targets: dict, image_index: int, input_hw) -> np.ndarray:
@@ -89,7 +96,8 @@ def build_coco_ctx(dataset, input_size: int):
 def evaluate(params, loader, cfg: ModelConfig, input_size: int,
              plot_dir: str | None = None, names=(),
              compute_dtype=jnp.bfloat16, device_put_fn=None,
-             progress: bool = False, coco_ctx=None):
+             progress: bool = False, coco_ctx=None,
+             envelope_stats: dict | None = None, max_nms: int = 2048):
     """Run the full eval pass.
 
     Args:
@@ -101,13 +109,22 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
         list of ((gx, gy), (pad_w, pad_h), gt_orig (M,5), (ow, oh)) per
         image (data/image.py::eval_geometry + original-space labels) —
         the loader must iterate the dataset unshuffled (val loaders do).
+      envelope_stats: optional dict filled with the candidate-envelope
+        certificate {images, at_risk, max_above_conf, budget}: at_risk
+        counts images where MORE than `budget` candidates cleared conf
+        AND fewer than max_det detections survived — the only case the
+        K-budget NMS output can differ from the reference's
+        max_nms=30000 budget (prefix theorem, ops/nms.py). at_risk == 0
+        certifies the run's detection sets bit-exact vs that budget.
     Returns:
       (mAP, mAP50, recall, precision) — the reference test() tuple.
       COCO results are read from the collector by the caller.
     """
-    step = functools.partial(predict_step, cfg=cfg, compute_dtype=compute_dtype)
+    step = functools.partial(predict_step, cfg=cfg,
+                             compute_dtype=compute_dtype, max_nms=max_nms)
 
     all_tp, all_conf, all_pcls, all_tcls = [], [], [], []
+    env = {"images": 0, "at_risk": 0, "max_above_conf": 0, "budget": 0}
     it = loader
     if progress:
         import tqdm
@@ -115,6 +132,15 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
 
     def consume(out, targets, n, base):
         out = jax.device_get(out)
+        if "n_above_conf" in out and n:
+            env["budget"] = int(out["candidate_budget"])
+            na = np.asarray(out["n_above_conf"])[:n]
+            cnt_b = np.asarray(out["count"])[:n]
+            max_det = out["valid"].shape[1]
+            env["images"] += n
+            env["max_above_conf"] = max(env["max_above_conf"], int(na.max()))
+            env["at_risk"] += int(((na > env["budget"])
+                                   & (cnt_b < max_det)).sum())
         for b in range(n):
             cnt = int(out["count"][b])
             det = np.zeros((cnt, 6), np.float32)
@@ -161,6 +187,16 @@ def evaluate(params, loader, cfg: ModelConfig, input_size: int,
         seen += n
     if pending is not None:
         consume(*pending)
+
+    if envelope_stats is not None:
+        envelope_stats.update(env)
+    if env["images"] and (progress or env["at_risk"]):
+        ok = ("BIT-EXACT vs the reference's 30k budget"
+              if env["at_risk"] == 0 else
+              "possible missed tail detections — raise --max-nms")
+        print(f"[eval] candidate envelope: {env['at_risk']}/{env['images']}"
+              f" images at spill risk (budget K={env['budget']}, max "
+              f"above-conf count {env['max_above_conf']}): selection {ok}")
 
     if not all_tp:
         return 0.0, 0.0, 0.0, 0.0

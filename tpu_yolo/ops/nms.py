@@ -29,6 +29,19 @@ Selection equals the reference's whenever the candidate budget covers
 all above-threshold candidates; any divergence is confined to boxes
 ranked below the `max_nms`-th score (~0 effect on mAP: those sit at
 conf ≈ threshold).
+
+Candidate-envelope theorem (prefix property). Rank candidates by
+(score desc, flat index asc). Suppression flows only from higher- to
+lower-ranked candidates, so for every candidate inside the top-K the
+keep decision depends exclusively on higher-ranked (hence also top-K)
+candidates: the K-budget output is ALWAYS an exact prefix of the
+reference's max_nms=30000-budget output (tests/test_nms_oracle.py::
+test_envelope_prefix_property). The outputs are fully identical unless
+BOTH (a) the image has more than K above-conf candidates AND (b) fewer
+than max_det survive greedy suppression inside the top K — the
+`envelope=True` flag emits the per-image above-conf count so callers
+(eval/evaluator.py) can certify condition (a)&(b) per run instead of
+assuming it (BENCH.md "Eval NMS candidate envelope").
 """
 from __future__ import annotations
 
@@ -187,7 +200,7 @@ def _rank_anchor_plane(anchor_max, k: int, ranking: str, recall: float):
     return jax.lax.top_k(anchor_max, k)
 
 
-@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking", "approx_recall", "pregate", "multi_label"))
+@functools.partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "ranking", "approx_recall", "pregate", "multi_label", "envelope"))
 def batched_nms(preds,
                 conf_thres: float = 0.001,
                 iou_thres: float = 0.65,
@@ -196,7 +209,8 @@ def batched_nms(preds,
                 ranking: str = "exact",
                 approx_recall: float = 0.95,
                 pregate: bool | None = None,
-                multi_label: bool = True):
+                multi_label: bool = True,
+                envelope: bool = False):
     """NMS over decoded predictions.
 
     Args:
@@ -207,6 +221,10 @@ def batched_nms(preds,
         candidate expansion (util.py:147-148) — the parity contract;
         False emits one candidate per anchor (its argmax class), the
         production-serving simplification (_rank_candidates_singlelabel).
+      envelope: also emit "n_above_conf" (B,) int32 — the full candidate
+        population above conf_thres — and "candidate_budget" () int32
+        (the K actually ranked), so callers can certify the prefix
+        theorem's spill condition (module docstring) per image.
     Returns dict of:
       boxes:  (B, max_det, 4) xyxy pixels
       scores: (B, max_det)
@@ -217,9 +235,11 @@ def batched_nms(preds,
     b, a, no = preds.shape
     nc = no - 4
     # The (K, K) suppression mask is the memory envelope; 8192² bool =
-    # 64 MB/image. All above-conf candidates land in the top-K by score,
-    # so capping differs from the reference only for candidates ranked
-    # below the 8192-th score (conf ~ threshold; no measurable mAP).
+    # 64 MB/image. Capping is safe by the prefix theorem (module
+    # docstring): the output is an exact prefix of the full-budget
+    # reference output, identical unless >K candidates clear conf AND
+    # <max_det survive inside the top K — certified per image via
+    # envelope=True.
     k = min(max_nms, a * nc if multi_label else a, 8192)
 
     boxes_xywh = preds[..., :4]
@@ -247,9 +267,16 @@ def batched_nms(preds,
 
     # Class-offset IoU mask + Jacobi fixpoint of the greedy recurrence
     # (exact on the acyclic suppression DAG) + compaction.
-    return _suppress(cand_boxes, top_scores, cls_idx, k,
-                     conf_thres=conf_thres, iou_thres=iou_thres,
-                     max_det=max_det)
+    res = _suppress(cand_boxes, top_scores, cls_idx, k,
+                    conf_thres=conf_thres, iou_thres=iou_thres,
+                    max_det=max_det)
+    if envelope:
+        pop = scores_all if multi_label else jnp.max(scores_all, axis=-1)
+        res["n_above_conf"] = jnp.sum(
+            pop > jnp.float32(conf_thres),
+            axis=tuple(range(1, pop.ndim))).astype(jnp.int32)
+        res["candidate_budget"] = jnp.full((), k, jnp.int32)
+    return res
 
 
 def nms_from_raw(raw_maps, cfg, input_hw,
@@ -260,7 +287,8 @@ def nms_from_raw(raw_maps, cfg, input_hw,
                  ranking: str = "exact",
                  approx_recall: float = 0.95,
                  pregate: bool | None = None,
-                 multi_label: bool = True):
+                 multi_label: bool = True,
+                 envelope: bool = False):
     """Fused decode+NMS from raw per-level head maps — the production
     inference tail (models.forward_nms). Output semantics are identical
     to batched_nms(decode_predictions(raw)); the structure is shaped by
@@ -359,6 +387,21 @@ def nms_from_raw(raw_maps, cfg, input_hw,
         anchor_idx, cls_idx = _split_candidate_index(top_idx, nc)
     top_scores = jax.nn.sigmoid(top_logits.astype(jnp.float32))
 
+    n_above = None
+    if envelope:
+        # Above-conf candidate population, counted on the logits against
+        # the exact sigmoid preimage log(c/(1-c)) — monotone-equivalent
+        # to sigmoid(x) > c up to one f32 ulp at the boundary, which is
+        # noise against the >K spill comparison this certifies (module
+        # docstring / prefix theorem). One compare+reduce fused over the
+        # already-materialized ranking operand: free next to the sort.
+        import math
+        c = min(max(conf_thres, 1e-12), 1.0 - 1e-12)
+        thr = jnp.float32(math.log(c / (1.0 - c)))
+        pop = flat if multi_label else anchor_max
+        n_above = jnp.sum(pop.astype(jnp.float32) > thr,
+                          axis=-1).astype(jnp.int32)
+
     anchors, stride_t = make_anchors(input_hw, cfg.strides)
     anchors = jnp.asarray(anchors, jnp.float32)          # (A, 2)
     stride_t = jnp.asarray(stride_t, jnp.float32)        # (A, 1)
@@ -381,9 +424,13 @@ def nms_from_raw(raw_maps, cfg, input_hw,
     boxes = jnp.concatenate(boxes, axis=1)               # (B, A, 4) f32
     cand_boxes = jnp.take_along_axis(boxes, anchor_idx[..., None], axis=1)
 
-    return _suppress(cand_boxes, top_scores, cls_idx, k,
-                     conf_thres=conf_thres, iou_thres=iou_thres,
-                     max_det=max_det)
+    res = _suppress(cand_boxes, top_scores, cls_idx, k,
+                    conf_thres=conf_thres, iou_thres=iou_thres,
+                    max_det=max_det)
+    if envelope:
+        res["n_above_conf"] = n_above
+        res["candidate_budget"] = jnp.full((), k, jnp.int32)
+    return res
 
 
 def _pair_iou_mask(boxes_kill, cls_kill, boxes_vic, cls_vic, iou_thres):
