@@ -50,7 +50,7 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 bool decode_jpeg_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
-                     int* out_w, int* out_h) {
+                     int* out_w, int* out_h, bool bgr = false) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -62,7 +62,18 @@ bool decode_jpeg_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, data, len);
   jpeg_read_header(&cinfo, TRUE);
+  // BGR: the host-augment train loader (data/native_train.py) works in
+  // OpenCV's BGR until its final output conversion; emitting BGR here
+  // makes every downstream paste a contiguous memcpy. libjpeg-turbo
+  // decodes extended colorspaces at identical cost; plain libjpeg
+  // builds fall back to an in-place swap.
+#ifdef JCS_EXTENSIONS
+  cinfo.out_color_space = bgr ? JCS_EXT_BGR : JCS_RGB;
+  const bool post_swap = false;
+#else
   cinfo.out_color_space = JCS_RGB;
+  const bool post_swap = bgr;
+#endif
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width, h = cinfo.output_height;
   out->resize(static_cast<size_t>(w) * h * 3);
@@ -72,6 +83,14 @@ bool decode_jpeg_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  if (post_swap) {
+    uint8_t* p = out->data();
+    for (size_t i = 0, n = static_cast<size_t>(w) * h; i < n; ++i, p += 3) {
+      uint8_t t = p[0];
+      p[0] = p[2];
+      p[2] = t;
+    }
+  }
   *out_w = w;
   *out_h = h;
   return true;
@@ -82,41 +101,67 @@ bool decode_jpeg_rgb(const uint8_t* data, size_t len, std::vector<uint8_t>* out,
 // convention: src = (dst + 0.5) * scale - 0.5).
 // ---------------------------------------------------------------------
 
+// Separable two-pass fixed-point bilinear (11-bit coefficients, the
+// cv2 INTER_LINEAR convention) with a two-slot horizontal-row cache:
+// the horizontal interpolation of each source row is computed once and
+// reused by every output row that blends it (y0 is nondecreasing, so
+// two slots suffice). Replaces a per-output-pixel float kernel that
+// profiled 2.5 ms per 640-long-side image — the single largest cost of
+// the staging paths after the JPEG decode itself. Max intermediate:
+// 255*2048 per pass, accumulated 255*2048*2048 < 2^31; rounding via
+// +2^21 before the >>22 keeps results within 1 LSB of exact bilinear
+// (well inside the decoder-tolerance contract the loaders pin,
+// tests/test_native_loader.py).
 void resize_bilinear_rgb(const uint8_t* src, int sw, int sh, uint8_t* dst,
                          int dw, int dh) {
-  const float sx = static_cast<float>(sw) / dw;
-  const float sy = static_cast<float>(sh) / dh;
-  std::vector<int> x0s(dw), x1s(dw);
-  std::vector<float> fxs(dw);
+  constexpr int kBits = 11, kOne = 1 << kBits;
+  const double sx = static_cast<double>(sw) / dw;
+  const double sy = static_cast<double>(sh) / dh;
+  std::vector<int> x0s(dw), x1s(dw), ifx(dw);
   for (int x = 0; x < dw; ++x) {
-    float fx = (x + 0.5f) * sx - 0.5f;
+    double fx = (x + 0.5) * sx - 0.5;
     if (fx < 0) fx = 0;
     int x0 = static_cast<int>(fx);
     if (x0 > sw - 1) x0 = sw - 1;
     int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
-    x0s[x] = x0;
-    x1s[x] = x1;
-    fxs[x] = fx - x0;
+    x0s[x] = x0 * 3;
+    x1s[x] = x1 * 3;
+    ifx[x] = static_cast<int>((fx - x0) * kOne + 0.5);
   }
+  const int row_len = dw * 3;
+  std::vector<int32_t> cache(2 * static_cast<size_t>(row_len));
+  int cached[2] = {-1, -1};
+  auto hrow = [&](int syi) -> const int32_t* {
+    for (int s = 0; s < 2; ++s)
+      if (cached[s] == syi) return cache.data() + s * row_len;
+    const int s = (cached[0] <= cached[1]) ? 0 : 1;  // evict older row
+    cached[s] = syi;
+    int32_t* out = cache.data() + s * row_len;
+    const uint8_t* srow = src + static_cast<size_t>(syi) * sw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const uint8_t* p0 = srow + x0s[x];
+      const uint8_t* p1 = srow + x1s[x];
+      const int f = ifx[x], g = kOne - f;
+      out[x * 3 + 0] = p0[0] * g + p1[0] * f;
+      out[x * 3 + 1] = p0[1] * g + p1[1] * f;
+      out[x * 3 + 2] = p0[2] * g + p1[2] * f;
+    }
+    return out;
+  };
   for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
+    double fy = (y + 0.5) * sy - 0.5;
     if (fy < 0) fy = 0;
     int y0 = static_cast<int>(fy);
     if (y0 > sh - 1) y0 = sh - 1;
     int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
-    const float wy = fy - y0;
-    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
-    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
-    for (int x = 0; x < dw; ++x) {
-      const int x0 = x0s[x] * 3, x1 = x1s[x] * 3;
-      const float wx = fxs[x];
-      for (int c = 0; c < 3; ++c) {
-        const float top = r0[x0 + c] + (r0[x1 + c] - r0[x0 + c]) * wx;
-        const float bot = r1[x0 + c] + (r1[x1 + c] - r1[x0 + c]) * wx;
-        const float v = top + (bot - top) * wy;
-        drow[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
-      }
+    const int fyi = static_cast<int>((fy - y0) * kOne + 0.5);
+    const int gyi = kOne - fyi;
+    const int32_t* r0 = hrow(y0);
+    const int32_t* r1 = (y1 == y0) ? r0 : hrow(y1);
+    uint8_t* drow = dst + static_cast<size_t>(y) * row_len;
+    for (int i = 0; i < row_len; ++i) {
+      const int32_t v = r0[i] * gyi + r1[i] * fyi + (1 << (2 * kBits - 1));
+      drow[i] = static_cast<uint8_t>(v >> (2 * kBits));
     }
   }
 }
@@ -279,7 +324,7 @@ int ip_load_one(void* p, const uint8_t* bytes, int64_t len, uint8_t* out,
 //   == stage), so eval letterboxing is purely this centered pad.
 static int load_batch_staged(Pipeline* pl, const char** paths, int n,
                              int stage, int scale_mode, uint8_t* out,
-                             float* dims) {
+                             float* dims, bool bgr = false) {
   const size_t stride = static_cast<size_t>(stage) * stage * 3;
   std::atomic<int> failures{0};
   int done = 0;
@@ -298,7 +343,7 @@ static int load_batch_staged(Pipeline* pl, const char** paths, int n,
         fseek(f, 0, SEEK_SET);
         std::vector<uint8_t> buf(sz);
         if (fread(buf.data(), 1, sz, f) == static_cast<size_t>(sz))
-          ok = decode_jpeg_rgb(buf.data(), sz, &rgb, &w, &h);
+          ok = decode_jpeg_rgb(buf.data(), sz, &rgb, &w, &h, bgr);
         fclose(f);
       }
       uint8_t* slot = out + stride * i;
@@ -373,6 +418,15 @@ int ip_load_batch_scaled(void* p, const char** paths, int n, int stage,
                          uint8_t* out, float* dims) {
   return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
                            /*scale_mode=*/1, out, dims);
+}
+
+// Same contract as ip_load_batch_scaled but emitting BGR channel order
+// (the host-augment train loader's working order, data/native_train.py)
+// — decoded directly to BGR, so the swap costs nothing.
+int ip_load_batch_scaled_bgr(void* p, const char** paths, int n, int stage,
+                             uint8_t* out, float* dims) {
+  return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
+                           /*scale_mode=*/1, out, dims, /*bgr=*/true);
 }
 
 // Eval staging: the full eval image contract in one native pass —

@@ -160,6 +160,37 @@ def test_cli_train_device_augment(mini_coco, tmp_path):
     assert (save_dir / "last.ckpt").exists()
 
 
+def test_cli_train_native_loader(mini_coco, tmp_path):
+    """`main.py --train --native-train on`: decode + prescale through
+    the C++ pool, augmentation on host (data/native_train.py); one
+    epoch must train and log exactly like the Python-loader path."""
+    from tpu_yolo.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native lib not built")
+    save_dir = tmp_path / "weights_nt"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    cmd = [
+        sys.executable, "main.py", "--train", "--native-train", "on",
+        "--model-size", "n", "--input-size", "128",
+        "--batch-size", "4", "--val-batch-size", "4", "--epochs", "1",
+        "--data-dir", str(mini_coco), "--save-dir", str(save_dir),
+        "--hyp", _hyp_tiny(tmp_path), "--workers", "2",
+    ]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                       env=env, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-4000:]
+    rows = (save_dir / "step.csv").read_text().splitlines()
+    assert rows[0] == "epoch,box,cls,dfl,Recall,Precision,mAP@50,mAP"
+    assert len(rows) >= 2
+    vals = rows[1].split(",")
+    assert all(float(v) == float(v) for v in vals[1:4])  # not NaN
+    assert (save_dir / "last.ckpt").exists()
+
+
 @pytest.mark.slow
 def test_cli_train_then_test(mini_coco, tmp_path):
     """`main.py --train` one epoch then `--test` on the checkpoint, all on

@@ -19,6 +19,8 @@ Usage: python tools/loader_bench.py [--images 256] [--batch 64]
            [--size 640] [--threads 1,2,4,8] [--epochs 3]
        python tools/loader_bench.py --eval-ab [--images 512] [--model n]
            [--workers 4]   # full evaluate() native-vs-python loader A/B
+       python tools/loader_bench.py --train-ab [--consume-ms 150]
+           [--trainer]     # train-loader A/B + overlap proof (+ e2e)
 """
 from __future__ import annotations
 
@@ -149,6 +151,132 @@ def eval_ab(args):
     return 0
 
 
+def _write_label_files(lbl_dir, paths, rng):
+    for p in paths:
+        n = int(rng.integers(1, 8))
+        rows = []
+        for _ in range(n):
+            w, h = rng.uniform(0.05, 0.4, 2)
+            x, y = rng.uniform(w / 2, 1 - w / 2), rng.uniform(
+                h / 2, 1 - h / 2)
+            rows.append(f"{int(rng.integers(0, 80))} "
+                        f"{x:.6f} {y:.6f} {w:.6f} {h:.6f}")
+        base = os.path.splitext(os.path.basename(p))[0]
+        with open(os.path.join(lbl_dir, base + ".txt"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+
+def train_ab(args):
+    """Train-loader A/B (VERDICT r4 item 1's measurement): the native
+    NativeTrainLoader (C++ decode + host cv2 augment,
+    data/native_train.py) vs the Python DataLoader over the augmenting
+    DetectionDataset, on synthetic COCO-layout JPEGs. Interleaved
+    rounds; reports per-loader standalone img/s AND the host-ahead-of-
+    device overlap proof: a second pass sleeps --consume-ms per batch
+    (a stand-in device step) — with working prefetch the wall time is
+    max(loader, consumer) + pipeline fill, so `overlap_overhead_ms`
+    (wall - n_batches*consume) stays near one batch's staging latency
+    instead of the full loader time. With --trainer, additionally A/Bs
+    `main.py --train` end-to-end (1 epoch, eval skipped by omitting
+    val2017.txt) on the default backend — the production trainer path
+    through both loaders."""
+    import subprocess
+
+    from tpu_yolo.core.config import load_hyperparams
+    from tpu_yolo.data.dataset import DetectionDataset
+    from tpu_yolo.data.loader import DataLoader
+    from tpu_yolo.data.native_train import NativeTrainLoader
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        img_dir = os.path.join(td, "images", "train2017")
+        lbl_dir = os.path.join(td, "labels", "train2017")
+        os.makedirs(img_dir)
+        os.makedirs(lbl_dir)
+        paths = make_jpegs(img_dir, args.images, rng)
+        _write_label_files(lbl_dir, paths, rng)
+        with open(os.path.join(td, "train2017.txt"), "w") as f:
+            f.write("\n".join(paths) + "\n")
+
+        hyp = load_hyperparams()
+        consume = args.consume_ms / 1e3
+
+        def make_loader(mode):
+            if mode == "native":
+                return NativeTrainLoader(paths, args.size, hyp,
+                                         batch_size=args.batch,
+                                         threads=args.workers)
+            ds = DetectionDataset(paths, args.size, hyp, augment=True)
+            return DataLoader(ds, args.batch, shuffle=True,
+                              num_workers=args.workers, drop_last=True)
+
+        walls = {"native": [], "python": []}
+        overlap = {"native": [], "python": []}
+        for rnd in range(max(args.epochs, 1)):
+            for mode in ("native", "python"):
+                loader = make_loader(mode)
+                t0 = time.perf_counter()
+                n_img = n_batch = 0
+                for images, _ in loader:
+                    n_img += images.shape[0]
+                    n_batch += 1
+                walls[mode].append((time.perf_counter() - t0, n_img))
+                if consume > 0:
+                    loader = make_loader(mode)
+                    t0 = time.perf_counter()
+                    for _ in loader:
+                        time.sleep(consume)
+                    wall = time.perf_counter() - t0
+                    overlap[mode].append(wall - n_batch * consume)
+
+        for mode in ("native", "python"):
+            dt, n_img = min(walls[mode])
+            row = {
+                "mode": f"train_loader_{mode}", "images": n_img,
+                "batch": args.batch, "workers": args.workers,
+                "size": args.size, "wall_s": round(dt, 2),
+                "img_per_s": round(n_img / dt, 1),
+                "ncpu": os.cpu_count(),
+            }
+            if consume > 0:
+                row["consume_ms_per_batch"] = args.consume_ms
+                row["overlap_overhead_ms"] = round(
+                    min(overlap[mode]) * 1e3, 1)
+            print(json.dumps(row))
+
+        if args.trainer:
+            env = dict(os.environ)
+            root = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            for rnd in range(2):
+                for mode in ("native", "python"):
+                    save = os.path.join(td, f"w_{mode}_{rnd}")
+                    cmd = [sys.executable, "main.py", "--train",
+                           "--model-size", args.model,
+                           "--input-size", str(args.size),
+                           "--batch-size", str(args.batch),
+                           "--epochs", "1", "--data-dir", td,
+                           "--save-dir", save,
+                           "--workers", str(args.workers)]
+                    if mode == "native":
+                        cmd += ["--native-train", "on"]
+                    t0 = time.perf_counter()
+                    r = subprocess.run(cmd, cwd=root, env=env,
+                                       capture_output=True, text=True)
+                    dt = time.perf_counter() - t0
+                    if r.returncode:
+                        print(json.dumps({"mode": f"trainer_{mode}",
+                                          "error": r.stderr[-500:]}))
+                        continue
+                    print(json.dumps({
+                        "mode": f"trainer_{mode}", "round": rnd,
+                        "images": args.images, "batch": args.batch,
+                        "epoch_wall_s": round(dt, 2),
+                        "img_per_s": round(args.images / dt, 1),
+                    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=256)
@@ -162,6 +290,15 @@ def main():
                          "COCO-layout JPEGs (identical metrics asserted)")
     ap.add_argument("--model", default="n")
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--train-ab", action="store_true",
+                    help="train-loader A/B: NativeTrainLoader vs the "
+                         "Python DataLoader, standalone + overlap "
+                         "proof; --trainer adds a main.py --train e2e "
+                         "A/B on the default backend")
+    ap.add_argument("--consume-ms", type=float, default=0.0,
+                    help="with --train-ab: per-batch consumer sleep "
+                         "(device-step stand-in) for the overlap proof")
+    ap.add_argument("--trainer", action="store_true")
     args = ap.parse_args()
 
     from tpu_yolo.data import native_loader
@@ -172,6 +309,8 @@ def main():
 
     if args.eval_ab:
         return eval_ab(args)
+    if args.train_ab:
+        return train_ab(args)
 
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as td:

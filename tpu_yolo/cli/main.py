@@ -61,6 +61,16 @@ def parse_args():
                         ".so exists (auto, the default), required (on), "
                         "or the Python cv2 loader (off — the parity "
                         "oracle path; identical geometry either way)")
+    p.add_argument("--native-train", default="off",
+                   choices=["auto", "on", "off"],
+                   help="train data loader: decode + prescale in the "
+                        "native C++ pipeline, augmentation as the host "
+                        "cv2 path (data/native_train.py). off (default) "
+                        "keeps the Python cv2 loader — the parity "
+                        "oracle; auto uses native when the .so exists; "
+                        "on requires it. Label geometry is identical; "
+                        "the prescale interp is standardized to "
+                        "bilinear (PARITY.md)")
     p.add_argument("--device-augment", action="store_true",
                    help="run mosaic/affine/HSV/flip augmentation on "
                         "device (ops/augment_device.py); host only "

@@ -42,16 +42,58 @@ def corners_to_norm(box_xyxy, w, h):
     return out
 
 
-def hsv_jitter(img, gain_h: float, gain_s: float, gain_v: float):
-    """In-place HSV color jitter via uint8 LUTs (reference dataset.py:274-289)."""
-    r = np.random.uniform(-1, 1, 3) * [gain_h, gain_s, gain_v] + 1
+def hsv_apply(img, r):
+    """In-place HSV jitter with GIVEN per-channel gains r (the LUT half
+    of hsv_jitter; reference dataset.py:274-289). Split out so loaders
+    that pre-draw per-sample parameters (data/native_train.py,
+    data/device_augment.py's host oracle) replay the exact host pixel
+    math. `img` is BGR uint8."""
     hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
-    x = np.arange(256, dtype=r.dtype)
+    x = np.arange(256, dtype=np.asarray(r).dtype)
     lut_h = ((x * r[0]) % 180).astype(np.uint8)
     lut_s = np.clip(x * r[1], 0, 255).astype(np.uint8)
     lut_v = np.clip(x * r[2], 0, 255).astype(np.uint8)
     hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s), cv2.LUT(val, lut_v)))
     cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR, dst=img)
+    return img
+
+
+def hsv_jitter(img, gain_h: float, gain_s: float, gain_v: float):
+    """In-place HSV color jitter via uint8 LUTs (reference dataset.py:274-289)."""
+    r = np.random.uniform(-1, 1, 3) * [gain_h, gain_s, gain_v] + 1
+    return hsv_apply(img, r)
+
+
+def draw_photometric(rng, p: float = 0.01) -> dict:
+    """Pre-draw the photometric_jitter decisions (same draw order) so a
+    producer thread with its own RNG can replay them via
+    photometric_apply. `rng` is a random.Random."""
+    d = {}
+    if rng.random() < p:
+        d["blur"] = rng.choice((3, 5, 7))
+    if rng.random() < p:
+        d["clahe"] = True
+    if rng.random() < p:
+        d["gray"] = True
+    if rng.random() < p:
+        d["median"] = rng.choice((3, 5))
+    return d
+
+
+def photometric_apply(img, d: dict):
+    """Apply pre-drawn photometric decisions (the deterministic half of
+    photometric_jitter; same op order and parameters). BGR uint8."""
+    if "blur" in d:
+        img = cv2.blur(img, (d["blur"],) * 2)
+    if d.get("clahe"):
+        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+        lab[..., 0] = cv2.createCLAHE(2.0, (8, 8)).apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+    if d.get("gray"):
+        img = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY),
+                           cv2.COLOR_GRAY2BGR)
+    if "median" in d:
+        img = cv2.medianBlur(img, d["median"])
     return img
 
 
@@ -61,18 +103,7 @@ def photometric_jitter(img, p: float = 0.01):
     reference's optional Albumentations hook (dataset.py:390-414 —
     Blur/CLAHE/ToGray/MedianBlur at p=0.01), without the optional
     dependency. Purely photometric: boxes are unaffected."""
-    if random.random() < p:
-        img = cv2.blur(img, (random.choice((3, 5, 7)),) * 2)
-    if random.random() < p:
-        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
-        lab[..., 0] = cv2.createCLAHE(2.0, (8, 8)).apply(lab[..., 0])
-        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
-    if random.random() < p:
-        img = cv2.cvtColor(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY),
-                           cv2.COLOR_GRAY2BGR)
-    if random.random() < p:
-        img = cv2.medianBlur(img, random.choice((3, 5)))
-    return img
+    return photometric_apply(img, draw_photometric(random, p))
 
 
 def _box_survives(before, after):

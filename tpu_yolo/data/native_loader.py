@@ -55,6 +55,8 @@ def _load():
         ctypes.POINTER(ctypes.c_float)]
     lib.ip_load_batch_scaled.restype = ctypes.c_int
     lib.ip_load_batch_scaled.argtypes = lib.ip_load_batch_raw.argtypes
+    lib.ip_load_batch_scaled_bgr.restype = ctypes.c_int
+    lib.ip_load_batch_scaled_bgr.argtypes = lib.ip_load_batch_raw.argtypes
     lib.ip_load_batch_eval.restype = ctypes.c_int
     lib.ip_load_batch_eval.argtypes = lib.ip_load_batch_raw.argtypes
     _lib = lib
@@ -177,7 +179,7 @@ class NativePipeline:
             dims_i[:] = (sh, sw, h, w)
         return fill
 
-    def _fb_scaled(self, stage):
+    def _fb_scaled(self, stage, bgr: bool = False):
         def fill(img, out_i, dims_i):
             import cv2
 
@@ -189,7 +191,9 @@ class NativePipeline:
                 img = cv2.resize(img, (sw, sh),
                                  interpolation=cv2.INTER_LINEAR)
             out_i[:] = 0
-            out_i[:sh, :sw] = img[:, :, ::-1]
+            # cv2 decodes BGR: pass through for the bgr contract, swap
+            # to RGB otherwise
+            out_i[:sh, :sw] = img if bgr else img[:, :, ::-1]
             dims_i[:] = (sh, sw, h, w)
         return fill
 
@@ -256,24 +260,30 @@ class NativePipeline:
                                    self._fb_eval(stage))
         return out, dims, int(nfail)
 
-    def load_batch_scaled(self, paths: list[str], stage: int):
+    def load_batch_scaled(self, paths: list[str], stage: int,
+                          bgr: bool = False):
         """Parallel decode + resize so every image's long side == stage
         (bilinear, up or down; truncated dims — the load_image contract,
         data/image.py:26-38), top-left anchored in a (N, stage, stage, 3)
         buffer. The train device-augment staging path. Returns
         (buffer, dims (N,4) [staged_h, staged_w, orig_h, orig_w],
-        n_failures); failed slots zeroed with dims[i,0] == -1."""
+        n_failures); failed slots zeroed with dims[i,0] == -1.
+        bgr=True emits BGR channel order (decoded directly to BGR —
+        same bytes reordered) for host-cv2 consumers
+        (data/native_train.py)."""
         n = len(paths)
         out = np.empty((n, stage, stage, 3), np.uint8)
         dims = np.empty((n, 4), np.float32)
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-        nfail = self._lib.ip_load_batch_scaled(
+        fn = (self._lib.ip_load_batch_scaled_bgr if bgr
+              else self._lib.ip_load_batch_scaled)
+        nfail = fn(
             self._h, arr, n, stage,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if nfail:
             nfail = self._fallback(paths, dims[:, 0] < 0, out, dims,
-                                   self._fb_scaled(stage))
+                                   self._fb_scaled(stage, bgr=bgr))
         return out, dims, int(nfail)
 
 

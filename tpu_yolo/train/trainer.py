@@ -151,6 +151,30 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
             threads=args.workers, seed=getattr(args, "seed", 0),
             num_shards=n_hosts, shard=jax.process_index())
 
+    # --native-train: decode + prescale through the C++ pool, augment
+    # on host (data/native_train.py) — the train-side analogue of
+    # --native-eval. Yields the DataLoader batch contract, so it slots
+    # in as `loader`; mutually exclusive with --device-augment (which
+    # already stages through the native pipeline).
+    native_train = getattr(args, "native_train", "off")
+    if native_train not in ("auto", "on", "off"):
+        raise ValueError(f"--native-train must be auto|on|off, "
+                         f"got {native_train!r}")
+    if native_train != "off" and dev_loader is None:
+        from tpu_yolo.data import native_loader as _nl
+        if _nl.available():
+            from tpu_yolo.data.native_train import NativeTrainLoader
+            loader = NativeTrainLoader(
+                filenames, args.input_size, hyp, global_bs // n_hosts,
+                cache_path=os.path.join(args.data_dir,
+                                        "train2017.cache.npy"),
+                threads=args.workers, seed=getattr(args, "seed", 0),
+                num_shards=n_hosts, shard=jax.process_index())
+        elif native_train == "on":
+            raise RuntimeError(
+                "--native-train on requires native/libtpuyolo_data.so; "
+                "run `make -C native`")
+
     # the ACTIVE loader drives the LR schedule / step accounting — with
     # --device-augment its length can differ from the host DataLoader
     # (label filtering, shard//batch floor arithmetic)
@@ -191,9 +215,19 @@ def train(args, hyp: dict, cfg: ModelConfig, dp: DataParallel | None = None):
             mosaic_on = args.epochs - epoch > 10 or args.epochs < 10
             dataset.mosaic = mosaic_on
             active = loader if dev_loader is None else dev_loader
-            if dev_loader is not None:
-                dev_loader.mosaic = mosaic_on and hyp.get("mosaic", 1.0) > 0
+            if hasattr(active, "mosaic"):  # DeviceAugment/NativeTrain
+                active.mosaic = mosaic_on and hyp.get("mosaic", 1.0) > 0
             active.set_epoch(epoch)
+
+            # The reference zeroes gradients at every EPOCH START
+            # (main.py:119 optimizer.zero_grad() inside the epoch loop),
+            # which discards any accumulated-but-unapplied tail grads
+            # when num_steps % accumulate != 0 — a behavioral quirk the
+            # long-horizon trajectory golden pins
+            # (tests/test_train_trajectory.py). Match it exactly.
+            if accumulate > 1:
+                state["opt"]["accum"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, state["opt"]["accum"])
 
             meters = {k: AverageMeter() for k in ("box", "cls", "dfl")}
             epoch_gt_truncated = 0  # --gt-bucket label loss this epoch
