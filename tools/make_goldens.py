@@ -228,7 +228,8 @@ def golden_train_trajectory():
     from nets import nn
     from utils import util
 
-    torch.manual_seed(0)
+    torch.set_grad_enabled(True)   # main() disables globally for the
+    torch.manual_seed(0)           # inference goldens; backward needs it
     model = nn.yolo_v11_n(80)
     model.train()
     criterion = util.ComputeLoss(model, {"box": 7.5, "cls": 0.5, "dfl": 1.5})
@@ -296,6 +297,153 @@ def golden_train_trajectory():
          **arrays,
          **{"sd0." + k: v for k, v in init_sd.items()},
          **sections)
+
+
+def golden_train_trajectory_long():
+    """Long-horizon (112-step) reference training run with the FULL
+    production schedule semantics — the coverage the 4-step golden
+    cannot give (VERDICT r4 item 3):
+
+      * the reference LinearLR warmup -> linear-decay transition
+        (util.py:581-596): num_steps=14/epochs=8 puts the crossing at
+        step 100 (warmup = max(3*14, 100) = 100), so both regimes and
+        the boundary are in-trajectory; total_lr is stored so the JAX
+        schedule (train/optim.py::linear_lr) is pinned array-for-array;
+      * gradient accumulation at the production rule
+        accumulate = max(round(64/bs), 1) = 16 (main.py:44): updates
+        fire at global steps 0, 16, ..., 96 (step % accumulate == 0,
+        main.py:158) with EMA coupled to update count, AND the
+        reference's epoch-start optimizer.zero_grad() (main.py:119)
+        which DISCARDS tail accumulated grads whenever
+        num_steps % accumulate != 0 — a quirk this golden pins (with
+        14-step epochs, the step-16 update sees only 3 batches);
+      * weight-decay/EMA/schedule coupling over 7 real updates at
+        ramping lr (wd = 5e-4 * bs * accumulate / 64 = 5e-4).
+
+    The mosaic-cutoff epoch boundary (main.py:109-110) is a host
+    data-pipeline toggle with no step-numerics content — inputs here
+    are a fixed 8-batch pool cycled per step (keeps the fixture small);
+    the cutoff's control path is covered by trainer/e2e tests.
+
+    Fixed config: bs=4 @96px, v11-n(80), momentum 0.937, nesterov.
+    The model init is the SAME torch.manual_seed(0) state as
+    golden_train_trajectory — sd0 is NOT duplicated here; the test
+    loads it from train_traj.npz (both fixtures regenerate together)."""
+    from nets import nn
+    from utils import util
+
+    torch.set_grad_enabled(True)   # main() disables globally for the
+    torch.manual_seed(0)           # inference goldens
+    model = nn.yolo_v11_n(80)
+    model.train()
+    criterion = util.ComputeLoss(model, {"box": 7.5, "cls": 0.5,
+                                         "dfl": 1.5})
+    bs, size = 4, 96
+    num_steps, epochs = 14, 8
+    momentum = 0.937
+    accumulate = max(round(64 / bs), 1)          # 16 (main.py:44)
+    wd = 5e-4 * bs * accumulate / 64             # main.py:45
+    # reference LinearLR arrays (util.py:581-592). lrs are the default
+    # hyp scaled by 0.1 (max 1e-3, min 1e-5): at the stock max_lr=1e-2
+    # the REFERENCE itself diverges on this tiny synthetic config (cls
+    # loss explodes to ~3000 after the step-80/96 updates — measured
+    # 2026-08-20), and a diverged trajectory pins chaos, not parity.
+    # The schedule SHAPE (warmup -> decay crossing at step 100,
+    # min:max ratio, endpoint conventions) is unchanged.
+    warmup = int(max(3.0 * num_steps, 100))
+    decay = int(epochs * num_steps - warmup)
+    total_lr = np.concatenate([
+        np.linspace(1e-5, 1e-3, warmup, endpoint=False),
+        np.linspace(1e-3, 1e-5, decay)])
+    optimizer = torch.optim.SGD(util.set_params(model, wd), 1e-5,
+                                momentum, nesterov=True)
+    ema = util.EMA(model)
+
+    init_sd = {k: v.detach().clone().numpy()
+               for k, v in model.state_dict().items()}
+
+    rng = np.random.default_rng(11)
+    pool = []
+    arrays = {}
+    for b in range(8):
+        img = rng.integers(0, 256, (bs, 3, size, size)).astype(np.uint8)
+        counts = rng.integers(1, 7, bs)
+        idx = np.concatenate([np.full(c, i) for i, c in
+                              enumerate(counts)]).astype(np.float32)
+        n = int(counts.sum())
+        cls = rng.integers(0, 80, n).astype(np.float32)
+        box = (rng.random((n, 4)) * 0.4 + 0.05).astype(np.float32)
+        pool.append((img, idx, cls, box))
+        arrays[f"pimg_{b}"] = img
+        arrays[f"pidx_{b}"] = idx
+        arrays[f"pcls_{b}"] = cls
+        arrays[f"pbox_{b}"] = box
+
+    # Chaos note (measured 2026-08-20): f32 drift through the TAL
+    # assigner's discrete selections amplifies ~30x per applied update
+    # (window max-rel 1e-5 -> 3e-5 -> 4.6e-4 -> 1.5e-2 -> 0.23 ...), so
+    # a single 112-step run cannot be pinned tightly end-to-end. The
+    # fixture therefore also stores a MID-RUN ANCHOR — the full
+    # reference state at the start of epoch 4 (model + EMA + momentum
+    # buffers; the epoch-start zero_grad quirk guarantees no pending
+    # accumulation there) — and the test re-anchors on it, stitching
+    # two tightly-bounded halves (VERDICT r4 item 3's "stitched"
+    # trajectory).
+    anchor_epoch = epochs // 2                   # 4
+    anchor = {}
+    losses = []
+    for epoch in range(epochs):
+        if epoch == anchor_epoch:
+            anchor["sdm"] = {k: v.detach().clone().numpy()
+                             for k, v in model.state_dict().items()}
+            anchor["sme"] = {k: v.detach().clone().numpy()
+                             for k, v in ema.ema.state_dict().items()}
+            mom = {k: np.zeros_like(v.detach().numpy())
+                   for k, v in model.state_dict().items()}
+            for k, p in model.named_parameters():
+                st = optimizer.state.get(p, {})
+                if st.get("momentum_buffer") is not None:
+                    mom[k] = st["momentum_buffer"].detach().clone().numpy()
+            anchor["smo"] = mom
+            anchor["ema_updates_mid"] = ema.updates
+        optimizer.zero_grad()                    # main.py:119 (quirk)
+        for i in range(num_steps):
+            step = epoch * num_steps + i
+            for grp in optimizer.param_groups:   # scheduler.step
+                grp["lr"] = total_lr[step]
+            img, idx, cls, box = pool[step % 8]
+            samples = torch.from_numpy(img).float() / 255
+            targets = {"idx": torch.from_numpy(idx),
+                       "cls": torch.from_numpy(cls),
+                       "box": torch.from_numpy(box)}
+            outputs = model(samples)
+            lb, lc, ld = criterion(outputs, targets)
+            losses.append([lb.item(), lc.item(), ld.item()])
+            ((lb + lc + ld) * bs).backward()
+            if step % accumulate == 0:           # main.py:158
+                optimizer.step()
+                optimizer.zero_grad()
+                ema.update(model)
+
+    sdf = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sde = {k: v.detach().numpy()
+           for k, v in ema.ema.state_dict().items()}
+    sections = {}
+    for tag, leaves, base in (("sdf", sdf, anchor["sdm"]),
+                              ("sde", sde, anchor["sdm"]),
+                              ("sdm", anchor["sdm"], init_sd),
+                              ("sme", anchor["sme"], init_sd),
+                              ("smo", anchor["smo"], None)):
+        codes, scales = quantize16(leaves, base)
+        sections.update({f"{tag}q.{k}": v for k, v in codes.items()})
+        sections.update({f"{tag}s.{k}": v for k, v in scales.items()})
+
+    save("train_traj_long.npz",
+         losses=np.asarray(losses, np.float64),
+         total_lr=total_lr.astype(np.float64),
+         ema_updates=np.int64(ema.updates),
+         ema_updates_mid=np.int64(anchor["ema_updates_mid"]),
+         **arrays, **sections)
 
 
 def golden_ciou():
@@ -369,6 +517,7 @@ def main():
     golden_metrics()
     golden_letterbox()
     golden_train_trajectory()
+    golden_train_trajectory_long()
     print("done")
 
 
