@@ -166,6 +166,165 @@ void resize_bilinear_rgb(const uint8_t* src, int sw, int sh, uint8_t* dst,
   }
 }
 
+// ---------------------------------------------------------------------
+// Generic separable resampler with float weights — the RANDOM-INTERP
+// train prescale (cv2 _TRAIN_INTERPS: nearest/linear/cubic/area/
+// lanczos4, data/image.py:21-38; reference dataset.py:95-103 draws one
+// per decode). Weight formulas follow cv2's conventions (half-pixel
+// centers for linear/cubic/lanczos4, floor mapping for nearest, cell
+// overlap for area-shrink; area falls back to linear when either axis
+// enlarges, as cv2.resize does). Index clamp = BORDER_REPLICATE.
+// Interp codes are cv2's enum values.
+// ---------------------------------------------------------------------
+
+enum { kNearest = 0, kLinear = 1, kCubic = 2, kArea = 3, kLanczos4 = 4 };
+
+// Per-output-coordinate taps: first source index + `support` weights.
+static void make_taps(int interp, int src, int dst, int* support,
+                      std::vector<int>* first, std::vector<float>* w) {
+  const double scale = static_cast<double>(src) / dst;
+  if (interp == kArea && scale >= 1.0) {
+    // exact cell-overlap weights; support <= ceil(scale) + 1
+    const int sup = static_cast<int>(std::ceil(scale)) + 1;
+    *support = sup;
+    first->assign(dst, 0);
+    w->assign(static_cast<size_t>(dst) * sup, 0.0f);
+    for (int x = 0; x < dst; ++x) {
+      const double lo = x * scale, hi = (x + 1) * scale;
+      int f = static_cast<int>(std::floor(lo));
+      if (f > src - 1) f = src - 1;
+      (*first)[x] = f;
+      for (int t = 0; t < sup; ++t) {
+        const int sx = f + t;
+        if (sx >= src) break;
+        const double cell_lo = sx, cell_hi = sx + 1;
+        const double ov = std::min(hi, cell_hi) - std::max(lo, cell_lo);
+        if (ov > 0) (*w)[static_cast<size_t>(x) * sup + t] =
+            static_cast<float>(ov / scale);
+      }
+    }
+    return;
+  }
+  if (interp == kNearest) {
+    *support = 1;
+    first->assign(dst, 0);
+    w->assign(dst, 1.0f);
+    for (int x = 0; x < dst; ++x) {
+      int sx = static_cast<int>(std::floor(x * scale));  // cv2 nearest
+      if (sx > src - 1) sx = src - 1;
+      (*first)[x] = sx;
+    }
+    return;
+  }
+  int sup;
+  if (interp == kCubic) sup = 4;
+  else if (interp == kLanczos4) sup = 8;
+  else sup = 2;  // linear (also area-enlarge fallback)
+  *support = sup;
+  first->assign(dst, 0);
+  w->assign(static_cast<size_t>(dst) * sup, 0.0f);
+  const double kPi = 3.14159265358979323846;
+  for (int x = 0; x < dst; ++x) {
+    double fx = (x + 0.5) * scale - 0.5;
+    int x0 = static_cast<int>(std::floor(fx));
+    const double d = fx - x0;
+    float* wr = w->data() + static_cast<size_t>(x) * sup;
+    if (sup == 2) {
+      (*first)[x] = x0;
+      wr[0] = static_cast<float>(1.0 - d);
+      wr[1] = static_cast<float>(d);
+    } else if (sup == 4) {
+      (*first)[x] = x0 - 1;
+      const double A = -0.75;  // cv2 interpolateCubic
+      wr[0] = static_cast<float>(((A * (d + 1) - 5 * A) * (d + 1) + 8 * A)
+                                 * (d + 1) - 4 * A);
+      wr[1] = static_cast<float>(((A + 2) * d - (A + 3)) * d * d + 1);
+      wr[2] = static_cast<float>(((A + 2) * (1 - d) - (A + 3)) * (1 - d)
+                                 * (1 - d) + 1);
+      wr[3] = 1.0f - wr[0] - wr[1] - wr[2];
+    } else {
+      (*first)[x] = x0 - 3;
+      // cv2 interpolateLanczos4: cos-table form, normalized
+      double sum = 0.0;
+      double wd[8];
+      if (d < 1e-12) {
+        for (int t = 0; t < 8; ++t) wd[t] = 0.0;
+        wd[3] = 1.0;
+        sum = 1.0;
+      } else {
+        for (int t = 0; t < 8; ++t) {
+          const double dx = d - (t - 3);
+          const double px = kPi * dx;
+          wd[t] = std::sin(px) * std::sin(px / 4.0) * 16.0 / (px * px);
+          sum += wd[t];
+        }
+      }
+      for (int t = 0; t < 8; ++t)
+        wr[t] = static_cast<float>(wd[t] / sum);
+    }
+  }
+}
+
+// Separable two-pass float resampler; `interp` as above.
+void resize_generic_rgb(const uint8_t* src, int sw, int sh, uint8_t* dst,
+                        int dw, int dh, int interp) {
+  if (interp == kLinear) {  // fast fixed-point path
+    resize_bilinear_rgb(src, sw, sh, dst, dw, dh);
+    return;
+  }
+  if (interp == kArea &&
+      !(sw >= dw && sh >= dh)) {  // cv2: area-enlarge -> linear
+    resize_bilinear_rgb(src, sw, sh, dst, dw, dh);
+    return;
+  }
+  int sup_x, sup_y;
+  std::vector<int> fx, fy;
+  std::vector<float> wx, wy;
+  make_taps(interp, sw, dw, &sup_x, &fx, &wx);
+  make_taps(interp, sh, dh, &sup_y, &fy, &wy);
+
+  // horizontal pass into a float intermediate (dh rows on demand would
+  // need a sup_y-deep cache; sh*dw floats is fine at these sizes)
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* srow = src + static_cast<size_t>(y) * sw * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      const float* wr = wx.data() + static_cast<size_t>(x) * sup_x;
+      for (int t = 0; t < sup_x; ++t) {
+        int sx = fx[x] + t;
+        if (sx < 0) sx = 0;
+        if (sx > sw - 1) sx = sw - 1;
+        const uint8_t* p = srow + sx * 3;
+        const float wgt = wr[t];
+        acc0 += wgt * p[0];
+        acc1 += wgt * p[1];
+        acc2 += wgt * p[2];
+      }
+      trow[x * 3 + 0] = acc0;
+      trow[x * 3 + 1] = acc1;
+      trow[x * 3 + 2] = acc2;
+    }
+  }
+  for (int y = 0; y < dh; ++y) {
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    const float* wr = wy.data() + static_cast<size_t>(y) * sup_y;
+    for (int i = 0; i < dw * 3; ++i) {
+      float acc = 0;
+      for (int t = 0; t < sup_y; ++t) {
+        int sy = fy[y] + t;
+        if (sy < 0) sy = 0;
+        if (sy > sh - 1) sy = sh - 1;
+        acc += wr[t] * tmp[static_cast<size_t>(sy) * dw * 3 + i];
+      }
+      const float v = acc + 0.5f;
+      drow[i] = v <= 0 ? 0 : (v >= 255.0f ? 255
+                              : static_cast<uint8_t>(v));
+    }
+  }
+}
+
 // Letterbox geometry identical to tpu_yolo/data/image.py::letterbox.
 struct LetterboxGeom {
   int new_w, new_h, top, left;
@@ -324,7 +483,8 @@ int ip_load_one(void* p, const uint8_t* bytes, int64_t len, uint8_t* out,
 //   == stage), so eval letterboxing is purely this centered pad.
 static int load_batch_staged(Pipeline* pl, const char** paths, int n,
                              int stage, int scale_mode, uint8_t* out,
-                             float* dims, bool bgr = false) {
+                             float* dims, bool bgr = false,
+                             const int* interps = nullptr) {
   const size_t stride = static_cast<size_t>(stage) * stage * 3;
   std::atomic<int> failures{0};
   int done = 0;
@@ -372,7 +532,8 @@ static int load_batch_staged(Pipeline* pl, const char** paths, int n,
           if (sh < 1) sh = 1;
           if (sw < 1) sw = 1;
           scaled.resize(static_cast<size_t>(sw) * sh * 3);
-          resize_bilinear_rgb(rgb.data(), w, h, scaled.data(), sw, sh);
+          resize_generic_rgb(rgb.data(), w, h, scaled.data(), sw, sh,
+                             interps ? interps[i] : kLinear);
           src = scaled.data();
         }
         int top = 0, left = 0;
@@ -427,6 +588,18 @@ int ip_load_batch_scaled_bgr(void* p, const char** paths, int n, int stage,
                              uint8_t* out, float* dims) {
   return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
                            /*scale_mode=*/1, out, dims, /*bgr=*/true);
+}
+
+// Train staging with a PER-IMAGE interpolation draw — the reference's
+// random-interp prescale (utils/dataset.py:95-103 resample();
+// data/image.py _TRAIN_INTERPS). `interps` are cv2 enum codes
+// (0 nearest, 1 linear, 2 cubic, 3 area, 4 lanczos4), one per path.
+int ip_load_batch_scaled_interp(void* p, const char** paths, int n,
+                                int stage, const int* interps, int bgr,
+                                uint8_t* out, float* dims) {
+  return load_batch_staged(static_cast<Pipeline*>(p), paths, n, stage,
+                           /*scale_mode=*/1, out, dims, bgr != 0,
+                           interps);
 }
 
 // Eval staging: the full eval image contract in one native pass —

@@ -351,3 +351,56 @@ def test_native_eval_loader_jpeg_contract(eval_mini_coco):
     res_nat = evaluate(params, nat_loader, cfg, 64)
     assert abs(res_py[0] - res_nat[0]) < 0.05   # mAP
     assert abs(res_py[1] - res_nat[1]) < 0.05   # mAP50
+
+
+def test_scaled_interp_modes_match_cv2(jpegs):
+    """The random-interp prescale (round 5): every _TRAIN_INTERPS mode
+    of the C++ resampler vs cv2.resize on the same decode, per-image
+    codes honored. Tolerances widen with kernel sharpness (cubic /
+    lanczos ring on the libjpeg-vs-cv2 decode LSB diffs)."""
+    import cv2
+
+    paths, _ = jpegs
+    pipe = native_loader.NativePipeline(640, threads=2)
+    stage = 320
+    modes = [(0, cv2.INTER_NEAREST, 1.5, 6), (1, cv2.INTER_LINEAR, 1.5, 6),
+             (2, cv2.INTER_CUBIC, 2.0, 10), (3, cv2.INTER_AREA, 1.5, 6),
+             (4, cv2.INTER_LANCZOS4, 2.5, 14)]
+    for code, flag, mtol, qtol in modes:
+        staged, dims, nfail = pipe.load_batch_scaled(
+            paths, stage, interps=[code] * len(paths))
+        assert nfail == 0
+        for i, p in enumerate(paths):
+            ref = cv2.imread(p)[:, :, ::-1]
+            h, w = ref.shape[:2]
+            r = stage / max(h, w)
+            sh, sw = ((max(int(h * r), 1), max(int(w * r), 1))
+                      if max(h, w) != stage else (h, w))
+            assert (int(dims[i][0]), int(dims[i][1])) == (sh, sw)
+            exp = (cv2.resize(ref, (sw, sh), interpolation=flag)
+                   if (sh, sw) != (h, w) else ref)
+            diff = np.abs(staged[i, :sh, :sw].astype(np.int16)
+                          - exp.astype(np.int16))
+            assert diff.mean() < mtol, (code, p, diff.mean())
+            assert np.quantile(diff, 0.99) <= qtol, \
+                (code, p, np.quantile(diff, 0.99))
+
+    # mixed per-image codes in ONE batch: each slot gets its own mode
+    codes = [0, 2, 3, 4]
+    staged, dims, nfail = pipe.load_batch_scaled(paths, stage,
+                                                 interps=codes)
+    assert nfail == 0
+    for i, (p, code) in enumerate(zip(paths, codes)):
+        ref = cv2.imread(p)[:, :, ::-1]
+        h, w = ref.shape[:2]
+        r = stage / max(h, w)
+        sh, sw = ((max(int(h * r), 1), max(int(w * r), 1))
+                  if max(h, w) != stage else (h, w))
+        flag = [cv2.INTER_NEAREST, cv2.INTER_LINEAR, cv2.INTER_CUBIC,
+                cv2.INTER_AREA, cv2.INTER_LANCZOS4][code]
+        exp = (cv2.resize(ref, (sw, sh), interpolation=flag)
+               if (sh, sw) != (h, w) else ref)
+        diff = np.abs(staged[i, :sh, :sw].astype(np.int16)
+                      - exp.astype(np.int16))
+        assert diff.mean() < 2.5 and np.quantile(diff, 0.99) <= 14, \
+            (code, p)

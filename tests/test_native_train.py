@@ -238,8 +238,12 @@ def test_native_train_loader_bit_identical_vs_cv2_oracle(train_mini_coco):
 
     files = train_mini_coco["png"]
     size = 64
+    # interp="bilinear": the oracle decodes with INTER_LINEAR; the
+    # default "random" per-source draws are pinned separately
+    # (test_scaled_interp_modes_match_cv2 + the determinism test)
     loader = NativeTrainLoader(files, size, _HYP, batch_size=2,
-                               threads=2, seed=4, photometric=False)
+                               threads=2, seed=4, photometric=False,
+                               interp="bilinear")
     batches = list(loader)
 
     # -- oracle: same plan stream, independent pixel/label math --------
@@ -364,13 +368,13 @@ def test_native_train_loader_jpeg_tolerance(train_mini_coco):
     # force the pure-cv2 decode on the reference loader
     pipe = ref._pipe
 
-    def cv2_decode(paths, stage, bgr=False):
+    def cv2_decode(paths, stage, bgr=False, interps=None):
         n = len(paths)
         out = np.zeros((n, stage, stage, 3), np.uint8)
         dims = np.empty((n, 4), np.float32)
         bad = np.ones(n, bool)
         pipe._fallback(paths, bad, out, dims,
-                       pipe._fb_scaled(stage, bgr=bgr))
+                       pipe._fb_scaled(stage, bgr=bgr, interps=interps))
         return out, dims, 0
 
     ref._pipe = type("P", (), {"load_batch_scaled": staticmethod(cv2_decode)})()

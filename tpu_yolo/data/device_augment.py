@@ -345,10 +345,16 @@ class DeviceAugmentLoader:
     def __init__(self, filenames, input_size: int, hyp: dict,
                  batch_size: int, cache_path: str | None = None,
                  threads: int = 8, seed: int = 0,
-                 num_shards: int = 1, shard: int = 0):
+                 num_shards: int = 1, shard: int = 0,
+                 interp: str = "random"):
         """num_shards/shard: multi-host partition — each process must
         see a disjoint slice of the (identically shuffled) order, the
-        ShardSampler contract; batch_size is the per-host batch."""
+        ShardSampler contract; batch_size is the per-host batch.
+        `interp`: "random" (default) draws the reference's per-source
+        prescale interpolation (_TRAIN_INTERPS, data/image.py:21-38;
+        all five modes implemented in the C++ resampler — closes the
+        round-4 asterisk); "bilinear" pins the deterministic mode (the
+        configuration the cv2-oracle pixel tests use)."""
         from tpu_yolo.data import native_loader
 
         if not native_loader.available():
@@ -367,11 +373,21 @@ class DeviceAugmentLoader:
         self.seed = seed
         self.num_shards = max(num_shards, 1)
         self.shard = shard
+        if interp not in ("random", "bilinear"):
+            raise ValueError(f"interp must be random|bilinear: {interp!r}")
+        self.interp = interp
         self.mosaic = hyp.get("mosaic", 1.0) > 0
         self._epoch = 0
         self._pipe = native_loader.NativePipeline(input_size,
                                                  threads=threads)
         self._staged = self._scan_staged_dims(cache_path)
+
+    # the host _TRAIN_INTERPS draw set as cv2 enum codes
+    _INTERP_CODES = (3, 2, 1, 0, 4)
+
+    def _draw_interps(self, rng, n: int):
+        return ([rng.choice(self._INTERP_CODES) for _ in range(n)]
+                if self.interp == "random" else None)
 
     def _scan_staged_dims(self, cache_path):
         """(N, 2) staged [h, w] for every image — the placement/label
@@ -430,7 +446,8 @@ class DeviceAugmentLoader:
                  for p in primaries]
         flat_idx = [i for d in draws for i in d["indices"]]
         staged, dims, nfail = self._pipe.load_batch_scaled(
-            [self.filenames[i] for i in flat_idx], st)
+            [self.filenames[i] for i in flat_idx], st,
+            interps=self._draw_interps(rng, len(flat_idx)))
         staged = staged.reshape(bs, 4, st, st, 3)
 
         # quadrants whose decode failed at load time (header read fine,
@@ -486,7 +503,8 @@ class DeviceAugmentLoader:
         flat_idx = [i for (d1, d2, _) in triples
                     for i in d1["indices"] + d2["indices"]]
         staged, dims, nfail = self._pipe.load_batch_scaled(
-            [self.filenames[i] for i in flat_idx], st)
+            [self.filenames[i] for i in flat_idx], st,
+            interps=self._draw_interps(rng, len(flat_idx)))
         staged = staged.reshape(bs, 2, 4, st, st, 3)
 
         failed = [[frozenset(), frozenset()] for _ in range(bs)]
@@ -509,7 +527,8 @@ class DeviceAugmentLoader:
         st = self.input_size
         draws = [draw_plain(rng, np_rng, self.hyp, st) for _ in primaries]
         staged, dims, nfail = self._pipe.load_batch_scaled(
-            [self.filenames[i] for i in primaries], st)
+            [self.filenames[i] for i in primaries], st,
+            interps=self._draw_interps(rng, len(primaries)))
         # a sample is bad if EITHER side failed (decode now, or the
         # header scan at init) — and then BOTH its pixels and labels
         # are blanked, never one without the other

@@ -57,6 +57,11 @@ def _load():
     lib.ip_load_batch_scaled.argtypes = lib.ip_load_batch_raw.argtypes
     lib.ip_load_batch_scaled_bgr.restype = ctypes.c_int
     lib.ip_load_batch_scaled_bgr.argtypes = lib.ip_load_batch_raw.argtypes
+    lib.ip_load_batch_scaled_interp.restype = ctypes.c_int
+    lib.ip_load_batch_scaled_interp.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float)]
     lib.ip_load_batch_eval.restype = ctypes.c_int
     lib.ip_load_batch_eval.argtypes = lib.ip_load_batch_raw.argtypes
     _lib = lib
@@ -135,10 +140,10 @@ class NativePipeline:
             if img is None:
                 remaining += 1
                 continue
-            fill_one(img, out[int(i)], meta[int(i)])
+            fill_one(img, out[int(i)], meta[int(i)], int(i))
         return remaining
 
-    def _fb_letterbox(self, img, out_i, meta_i):
+    def _fb_letterbox(self, img, out_i, meta_i, i=0):
         """load_batch contract: single-resize letterbox, RGB, meta
         (ratio, pad_w, pad_h, orig_w, orig_h); allow_upscale unclamps
         the ratio (the native pipeline's combined min(s/h, s/w) —
@@ -163,7 +168,7 @@ class NativePipeline:
         meta_i[:] = (r, pad_w, pad_h, w, h)
 
     def _fb_raw(self, stage):
-        def fill(img, out_i, dims_i):
+        def fill(img, out_i, dims_i, i=0):
             import cv2
 
             h, w = img.shape[:2]
@@ -179,8 +184,8 @@ class NativePipeline:
             dims_i[:] = (sh, sw, h, w)
         return fill
 
-    def _fb_scaled(self, stage, bgr: bool = False):
-        def fill(img, out_i, dims_i):
+    def _fb_scaled(self, stage, bgr: bool = False, interps=None):
+        def fill(img, out_i, dims_i, i=0):
             import cv2
 
             h, w = img.shape[:2]
@@ -188,8 +193,10 @@ class NativePipeline:
             r = stage / max(h, w)
             if max(h, w) != stage:  # the load_image contract: truncated
                 sh, sw = max(int(h * r), 1), max(int(w * r), 1)
-                img = cv2.resize(img, (sw, sh),
-                                 interpolation=cv2.INTER_LINEAR)
+                # interp codes are cv2 enum values (0..4)
+                flag = (cv2.INTER_LINEAR if interps is None
+                        else int(interps[i]))
+                img = cv2.resize(img, (sw, sh), interpolation=flag)
             out_i[:] = 0
             # cv2 decodes BGR: pass through for the bgr contract, swap
             # to RGB otherwise
@@ -217,7 +224,7 @@ class NativePipeline:
         return out, dims, int(nfail)
 
     def _fb_eval(self, stage):
-        def fill(img, out_i, dims_i):
+        def fill(img, out_i, dims_i, i=0):
             """Bit-identical mirror of the Python eval image path
             (data/image.py::load_image + letterbox(augment=False)):
             float64 ratio, truncated dims, cv2.INTER_LINEAR, centered
@@ -261,29 +268,41 @@ class NativePipeline:
         return out, dims, int(nfail)
 
     def load_batch_scaled(self, paths: list[str], stage: int,
-                          bgr: bool = False):
+                          bgr: bool = False, interps=None):
         """Parallel decode + resize so every image's long side == stage
-        (bilinear, up or down; truncated dims — the load_image contract,
+        (up or down; truncated dims — the load_image contract,
         data/image.py:26-38), top-left anchored in a (N, stage, stage, 3)
         buffer. The train device-augment staging path. Returns
         (buffer, dims (N,4) [staged_h, staged_w, orig_h, orig_w],
         n_failures); failed slots zeroed with dims[i,0] == -1.
         bgr=True emits BGR channel order (decoded directly to BGR —
         same bytes reordered) for host-cv2 consumers
-        (data/native_train.py)."""
+        (data/native_train.py). `interps`: optional per-image cv2
+        interpolation codes (0 nearest / 1 linear / 2 cubic / 3 area /
+        4 lanczos4) — the reference's random-interp train prescale
+        (data/image.py::_TRAIN_INTERPS; dataset.py:95-103); None means
+        bilinear for all."""
         n = len(paths)
         out = np.empty((n, stage, stage, 3), np.uint8)
         dims = np.empty((n, 4), np.float32)
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-        fn = (self._lib.ip_load_batch_scaled_bgr if bgr
-              else self._lib.ip_load_batch_scaled)
-        nfail = fn(
-            self._h, arr, n, stage,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if interps is not None:
+            codes = (ctypes.c_int * n)(*[int(v) for v in interps])
+            nfail = self._lib.ip_load_batch_scaled_interp(
+                self._h, arr, n, stage, codes, int(bgr),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        else:
+            fn = (self._lib.ip_load_batch_scaled_bgr if bgr
+                  else self._lib.ip_load_batch_scaled)
+            nfail = fn(
+                self._h, arr, n, stage,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                dims.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if nfail:
-            nfail = self._fallback(paths, dims[:, 0] < 0, out, dims,
-                                   self._fb_scaled(stage, bgr=bgr))
+            nfail = self._fallback(
+                paths, dims[:, 0] < 0, out, dims,
+                self._fb_scaled(stage, bgr=bgr, interps=interps))
         return out, dims, int(nfail)
 
 

@@ -25,13 +25,14 @@ Division of labor per batch:
     decoded sources the samples are bit-identical
     (tests/test_native_train.py pins this against a manual cv2 oracle).
 
-The one intentional divergence from the Python path: the prescale
-interpolation is always bilinear (the C++ resizer), where load_image
-with augment=True draws a random cv2 interp per image
-(data/image.py:21-38; reference dataset.py:95-103 resample()).
-That is an augmentation-diversity nuance, not a geometry change —
-dims/labels are identical — and it is the same documented asterisk as
-the --device-augment path (PARITY.md "device-augment envelope").
+The random-interpolation prescale (load_image with augment=True draws
+a random cv2 interp per image, data/image.py:21-38; reference
+dataset.py:95-103 resample()) is honored: the C++ resampler implements
+all five _TRAIN_INTERPS modes with cv2's conventions
+(ip_load_batch_scaled_interp; round 5, closing the round-4 asterisk)
+and the loader draws one per source. `interp="bilinear"` pins the
+deterministic mode — the parity-oracle configuration the bit-identity
+tests use. Geometry (dims/labels) is interp-independent either way.
 
 Batches are HETEROGENEOUS (host assembly has no static-shape
 constraint, unlike DeviceAugmentLoader): each sample draws its mode
@@ -58,6 +59,10 @@ from tpu_yolo.data.device_augment import (_compose_affine,
                                           assemble_plain, draw_mixup_pair,
                                           draw_mosaic, draw_plain)
 from tpu_yolo.data.labels import load_labels
+
+# the host _TRAIN_INTERPS draw set (data/image.py:21-22), as cv2 enum
+# codes: (AREA, CUBIC, LINEAR, NEAREST, LANCZOS4)
+_INTERP_CODES = (3, 2, 1, 0, 4)
 
 
 def assemble_pixels_mosaic(draw: dict, staged, dims, size: int,
@@ -139,7 +144,8 @@ class NativeTrainLoader:
                  batch_size: int, cache_path: str | None = None,
                  threads: int = 8, seed: int = 0,
                  num_shards: int = 1, shard: int = 0,
-                 prefetch: int = 2, photometric: bool = True):
+                 prefetch: int = 2, photometric: bool = True,
+                 interp: str = "random"):
         from tpu_yolo.data import native_loader
 
         if not native_loader.available():
@@ -158,6 +164,9 @@ class NativeTrainLoader:
         self.shard = shard
         self.prefetch = prefetch
         self.photometric = photometric
+        if interp not in ("random", "bilinear"):
+            raise ValueError(f"interp must be random|bilinear: {interp!r}")
+        self.interp = interp
         self.mosaic = hyp.get("mosaic", 1.0) > 0
         self._epoch = 0
         self._pipe = native_loader.NativePipeline(input_size,
@@ -195,8 +204,11 @@ class NativeTrainLoader:
         plans = [self._plan_sample(p, rng, np_rng) for p in primaries]
         flat_idx = [i for (_, _, srcs, _) in plans for i in srcs]
         offs = np.cumsum([0] + [len(srcs) for (_, _, srcs, _) in plans])
+        interps = ([rng.choice(_INTERP_CODES) for _ in flat_idx]
+                   if self.interp == "random" else None)
         staged, dims, _ = self._pipe.load_batch_scaled(
-            [self.filenames[i] for i in flat_idx], st, bgr=True)
+            [self.filenames[i] for i in flat_idx], st, bgr=True,
+            interps=interps)
 
         images, cls_all, box_all, idx_all = [], [], [], []
         for k, (mode, draw, srcs, photo) in enumerate(plans):
