@@ -275,11 +275,13 @@ def _fpn(p, feats, ctx, cfg: ModelConfig, remat=False):
     def bottom_up(pp, ff, c):
         h3, h4, p5 = ff
         d3 = conv_bn(pp["h3"], h3, c, "fpn/h3", stride=2, padding=1)
-        h4b = blocks.csp(pp["h4"], jnp.concatenate((d3, h4), -1), c,
-                         "fpn/h4", csp0, remat=inner)
+        with jax.named_scope("fpn/h4/cat"):  # stage attribution
+            c4 = jnp.concatenate((d3, h4), -1)
+        h4b = blocks.csp(pp["h4"], c4, c, "fpn/h4", csp0, remat=inner)
         d4 = conv_bn(pp["h5"], h4b, c, "fpn/h5", stride=2, padding=1)
-        h5b = blocks.csp(pp["h6"], jnp.concatenate((d4, p5), -1), c,
-                         "fpn/h6", csp1, remat=inner)
+        with jax.named_scope("fpn/h6/cat"):
+            c5 = jnp.concatenate((d4, p5), -1)
+        h5b = blocks.csp(pp["h6"], c5, c, "fpn/h6", csp1, remat=inner)
         return h4b, h5b
 
     run = ckpt_region if stage_ckpt else (lambda f, pp, aa, c: f(pp, aa, c))
@@ -302,7 +304,8 @@ def _head(p, feats, ctx, cfg: ModelConfig, remat=False):
                      groups=cc.shape[-1])
         cc = conv_bn(cp[3], cc, c, sub("head/cls", i, 3))
         cc = conv_bn(cp[4], cc, c, sub("head/cls", i, 4), act=identity)
-        return jnp.concatenate((b, cc), axis=-1)
+        with jax.named_scope(sub("head/out", i)):  # stage attribution
+            return jnp.concatenate((b, cc), axis=-1)
 
     stage_ckpt, _ = _remat_flags(remat)
     run = ckpt_region if stage_ckpt else (lambda f, pp, aa, c: f(pp, aa, c))

@@ -17,7 +17,8 @@ def residual(p, x, ctx: Context, path: str):
     """Two 3x3 convs with a skip (reference Residual, nn.py:42-49)."""
     y = conv_bn(p["conv1"], x, ctx, sub(path, "conv1"), padding=1)
     y = conv_bn(p["conv2"], y, ctx, sub(path, "conv2"), padding=1)
-    return x + y
+    with jax.named_scope(sub(path, "add")):    # stage attribution
+        return x + y
 
 
 def csp_module(p, x, ctx: Context, path: str):
@@ -26,7 +27,9 @@ def csp_module(p, x, ctx: Context, path: str):
     for i, rp in enumerate(p["m"]):
         y = residual(rp, y, ctx, sub(path, "m", i))
     z = conv_bn(p["conv2"], x, ctx, sub(path, "conv2"))
-    return conv_bn(p["conv3"], jnp.concatenate((y, z), axis=-1), ctx, sub(path, "conv3"))
+    with jax.named_scope(sub(path, "cat")):    # stage attribution
+        yz = jnp.concatenate((y, z), axis=-1)
+    return conv_bn(p["conv3"], yz, ctx, sub(path, "conv3"))
 
 
 def csp(p, x, ctx: Context, path: str, use_csp_module: bool,
@@ -47,7 +50,9 @@ def csp(p, x, ctx: Context, path: str, use_csp_module: bool,
             parts.append(ckpt_region(fn, mp, parts[-1], ctx))
         else:
             parts.append(inner(mp, parts[-1], ctx, sub(path, "m", i)))
-    return conv_bn(p["conv2"], jnp.concatenate(parts, axis=-1), ctx, sub(path, "conv2"))
+    with jax.named_scope(sub(path, "cat")):    # stage attribution
+        cat = jnp.concatenate(parts, axis=-1)
+    return conv_bn(p["conv2"], cat, ctx, sub(path, "conv2"))
 
 
 def sppf(p, x, ctx: Context, path: str, k: int = 5):
@@ -57,7 +62,8 @@ def sppf(p, x, ctx: Context, path: str, k: int = 5):
         y1 = max_pool(x, k)
         y2 = max_pool(y1, k)
         y3 = max_pool(y2, k)
-    return conv_bn(p["conv2"], jnp.concatenate((x, y1, y2, y3), axis=-1), ctx, sub(path, "conv2"))
+        cat = jnp.concatenate((x, y1, y2, y3), axis=-1)
+    return conv_bn(p["conv2"], cat, ctx, sub(path, "conv2"))
 
 
 def attention(p, x, ctx: Context, path: str, num_head: int):

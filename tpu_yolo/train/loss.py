@@ -282,12 +282,16 @@ def detection_loss(raw_maps, gt, hyp: dict, cfg: ModelConfig):
     # lesson as the mask_in_gts rejection: per-line profile
     # attributions include fused neighbors — deleting the op does not
     # delete the time.
-    levels = [m.reshape(bsz, -1, cfg.no) for m in raw_maps]
-    nd = 4 * reg
-    pred_dist = jnp.concatenate([m[..., :nd] for m in levels],
-                                axis=1).astype(jnp.float32)
-    pred_cls = jnp.concatenate([m[..., nd:] for m in levels],
-                               axis=1).astype(jnp.float32)
+    # named_scope tags are trace-time metadata only (profiler
+    # attribution for the BENCH.md train-step bound table); they change
+    # no compiled code.
+    with jax.named_scope("loss/prep"):
+        levels = [m.reshape(bsz, -1, cfg.no) for m in raw_maps]
+        nd = 4 * reg
+        pred_dist = jnp.concatenate([m[..., :nd] for m in levels],
+                                    axis=1).astype(jnp.float32)
+        pred_cls = jnp.concatenate([m[..., nd:] for m in levels],
+                                   axis=1).astype(jnp.float32)
 
     anchors, stride_t = make_anchors(input_hw, cfg.strides)
     anchors = jnp.asarray(anchors)                            # (A, 2) grid units
@@ -299,39 +303,46 @@ def detection_loss(raw_maps, gt, hyp: dict, cfg: ModelConfig):
     # bs128/640, and again in the backward); same math as
     # ops/boxes.py::dfl_expectation
     from tpu_yolo.ops.boxes import dfl_expectation
-    dist = dfl_expectation(pred_dist.reshape(bsz, -1, 4, reg), reg)
-    lt, rb = jnp.split(dist, 2, axis=-1)
-    pred_boxes = jnp.concatenate((anchors - lt, anchors + rb), axis=-1)  # (B, A, 4)
+    with jax.named_scope("loss/decode"):
+        dist = dfl_expectation(pred_dist.reshape(bsz, -1, 4, reg), reg)
+        lt, rb = jnp.split(dist, 2, axis=-1)
+        pred_boxes = jnp.concatenate((anchors - lt, anchors + rb), axis=-1)  # (B, A, 4)
 
     gt_labels = gt[..., :1]
     gt_bboxes = gt[..., 1:5]
     mask_gt = (gt_bboxes.sum(-1, keepdims=True) > 0).astype(jnp.float32)
 
-    target_bboxes, target_scores, fg_mask = task_aligned_assigner(
-        jax.nn.sigmoid(jax.lax.stop_gradient(pred_cls)),
-        jax.lax.stop_gradient(pred_boxes) * stride_t,
-        anchors * stride_t,
-        gt_labels, gt_bboxes, mask_gt, num_classes=nc)
+    with jax.named_scope("loss/assign"):
+        target_bboxes, target_scores, fg_mask = task_aligned_assigner(
+            jax.nn.sigmoid(jax.lax.stop_gradient(pred_cls)),
+            jax.lax.stop_gradient(pred_boxes) * stride_t,
+            anchors * stride_t,
+            gt_labels, gt_bboxes, mask_gt, num_classes=nc)
 
     tss = jnp.maximum(target_scores.sum(), 1.0)
 
     # classification: BCE with logits, sum over everything
-    bce = jnp.maximum(pred_cls, 0) - pred_cls * target_scores + \
-        jnp.log1p(jnp.exp(-jnp.abs(pred_cls)))
-    loss_cls = bce.sum() / tss
+    with jax.named_scope("loss/cls"):
+        bce = jnp.maximum(pred_cls, 0) - pred_cls * target_scores + \
+            jnp.log1p(jnp.exp(-jnp.abs(pred_cls)))
+        loss_cls = bce.sum() / tss
 
     # box + dfl on foreground anchors (masked; zero when no fg)
     fg = fg_mask.astype(jnp.float32)
     weight = target_scores.sum(-1) * fg                       # (B, A)
     tb_grid = target_bboxes / stride_t                        # grid units
 
-    iou = ciou(pred_boxes, tb_grid)[..., 0]                   # (B, A)
-    loss_box = (jnp.where(fg_mask, (1.0 - iou), 0.0) * weight).sum() / tss
+    with jax.named_scope("loss/boxdfl"):
+        iou = ciou(pred_boxes, tb_grid)[..., 0]               # (B, A)
+        loss_box = (jnp.where(fg_mask, (1.0 - iou), 0.0)
+                    * weight).sum() / tss
 
-    tlt = anchors[None] - tb_grid[..., :2]
-    trb = tb_grid[..., 2:] - anchors[None]
-    dfl_target = jnp.clip(jnp.concatenate((tlt, trb), -1), 0, reg - 1 - 0.01)
-    dfl = _dfl_loss(pred_dist.reshape(bsz, -1, 4, reg), dfl_target, reg)
-    loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / tss
+        tlt = anchors[None] - tb_grid[..., :2]
+        trb = tb_grid[..., 2:] - anchors[None]
+        dfl_target = jnp.clip(jnp.concatenate((tlt, trb), -1), 0,
+                              reg - 1 - 0.01)
+        dfl = _dfl_loss(pred_dist.reshape(bsz, -1, 4, reg), dfl_target,
+                        reg)
+        loss_dfl = (jnp.where(fg_mask, dfl, 0.0) * weight).sum() / tss
 
     return loss_box * hyp["box"], loss_cls * hyp["cls"], loss_dfl * hyp["dfl"]

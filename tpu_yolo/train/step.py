@@ -128,7 +128,10 @@ def train_step(state, images, gt, lr, hyp_gains, wd, momentum, *,
         leak tracers).
     """
     params = _copy_tree(state["params"])
-    x = images.astype(compute_dtype) / compute_dtype(255)
+    # step/* named_scope tags: trace metadata only, for the BENCH.md
+    # train-step bound table (profiler attribution of the non-model ms)
+    with jax.named_scope("step/cast"):
+        x = images.astype(compute_dtype) / compute_dtype(255)
     global_bs = images.shape[0]
 
     def fwd(p, xx):
@@ -146,26 +149,33 @@ def train_step(state, images, gt, lr, hyp_gains, wd, momentum, *,
     grads, ((lb, lc, ld), bn_updates) = jax.grad(loss_fn, has_aux=True)(params)
 
     # BN running stats update every micro-step (torch module semantics).
-    params = apply_stat_updates(params, bn_updates)
+    with jax.named_scope("step/bnstats"):
+        params = apply_stat_updates(params, bn_updates)
 
     opt = dict(state["opt"])
     if accumulate > 1:
-        grads = jax.tree_util.tree_map(jnp.add, opt["accum"], grads)
+        with jax.named_scope("step/accum"):
+            grads = jax.tree_util.tree_map(jnp.add, opt["accum"], grads)
 
     if apply_update:
-        masks = (optim.trainable_mask(params), optim.decay_mask(params))
-        params, new_momentum = optim.sgd_update(
-            params, grads, opt, lr=lr, momentum=momentum,
-            weight_decay=wd, masks=masks)
-        opt["momentum"] = new_momentum
-        if accumulate > 1:
-            opt["accum"] = jax.tree_util.tree_map(jnp.zeros_like, grads)
+        with jax.named_scope("step/opt"):
+            masks = (optim.trainable_mask(params),
+                     optim.decay_mask(params))
+            params, new_momentum = optim.sgd_update(
+                params, grads, opt, lr=lr, momentum=momentum,
+                weight_decay=wd, masks=masks)
+            opt["momentum"] = new_momentum
+            if accumulate > 1:
+                opt["accum"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                      grads)
 
         ema_params = state["ema_params"]
         ema_updates = state["ema_updates"]
         if ema_params is not None:
             ema_updates = ema_updates + 1
-            ema_params = optim.ema_update(ema_params, params, ema_updates)
+            with jax.named_scope("step/ema"):
+                ema_params = optim.ema_update(ema_params, params,
+                                              ema_updates)
     else:
         opt["accum"] = grads
         ema_params = state["ema_params"]
