@@ -176,6 +176,21 @@ def test_preflight_two_process(tmp_path):
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(REPO, ".jax_cache_cpu"))
     tool = os.path.join(REPO, "tools", "multihost_preflight.py")
+
+    # Oracle-first prewarm (the module-docstring lesson): a
+    # single-process run at the GLOBAL 8-device topology populates the
+    # persistent cache with the same SPMD executables; without it, the
+    # two ranks compile the train step concurrently on this one core
+    # and the slower rank misses the collective/shutdown windows.
+    env1 = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r0 = subprocess.run(
+        [sys.executable, tool, "--batch-size", "16",
+         "--input-size", "64", "--data-dir", str(tmp_path), "--prewarm"],
+        capture_output=True, text=True, env=env1, cwd=REPO, timeout=900)
+    assert r0.returncode == 0, r0.stderr[-4000:]
+    oracle = json.loads(r0.stdout.strip().splitlines()[-1])
+    assert oracle["ok"] and oracle["checks"]["prewarm"], oracle
+
     procs = [
         subprocess.Popen(
             [sys.executable, tool,

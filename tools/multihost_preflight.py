@@ -60,6 +60,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _GT_BUCKETS = (32, 64, 128, 256, 512)  # train/trainer.py
 
 
+def _coord_barrier(name: str, timeout_ms: int = 1_800_000):
+    """Coordination-service barrier (gRPC to the coordinator, NOT a
+    Gloo collective — tolerates arbitrary rank skew). No-op
+    single-process."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax._src import distributed
+        distributed.global_state.client.wait_at_barrier(
+            name, timeout_in_ms=timeout_ms)
+
+
 def check(results, name, ok, detail):
     results[name] = {"ok": bool(ok), "detail": detail}
     print(f"[{'PASS' if ok else 'FAIL'}] {name}: {detail}")
@@ -147,11 +159,22 @@ def prewarm(args, n_data: int, results) -> None:
     gains = jnp.asarray([hyp["box"], hyp["cls"], hyp["dfl"]], jnp.float32)
     put = (dp.shard_batch if dp.num_data_shards > 1
            else (lambda a: jnp.asarray(a)))
-    # compile BOTH program variants the trainer runs (apply/accumulate)
-    for apply_update in ((True, False) if accumulate > 1 else (True,)):
-        state, m = train_step(
-            state, put(images), put(gt), 0.001, gains, 5e-4, 0.937,
-            cfg=cfg, accumulate=accumulate, apply_update=apply_update)
+    x, g = put(jnp.asarray(images)), put(jnp.asarray(gt))
+    # Compile BOTH program variants the trainer runs (apply/accumulate)
+    # — AOT (lower().compile()) with a coordination-service barrier
+    # between compile and first execution: ranks can finish compiling
+    # minutes apart (1-core rehearsal hosts serialize compiles), and
+    # the first rank to ENTER the collective would otherwise time out
+    # the Gloo context-init window waiting for its peer — the exact
+    # skew pathology the rehearsal solved (tools/multihost_rehearsal.py
+    # barrier docstring).
+    for j, apply_update in enumerate(
+            (True, False) if accumulate > 1 else (True,)):
+        exe = train_step.lower(
+            state, x, g, 0.001, gains, 5e-4, 0.937, cfg=cfg,
+            accumulate=accumulate, apply_update=apply_update).compile()
+        _coord_barrier(f"preflight-prewarm-{j}")
+        state, m = exe(state, x, g, 0.001, gains, 5e-4, 0.937)
         jax.block_until_ready(m["loss_box"])
     check(results, "prewarm", True,
           f"train step compiled at bs={args.batch_size} "
@@ -272,7 +295,15 @@ def main():
                         f"{type(e).__name__}: {e}")
 
     print(json.dumps({"ok": bool(ok), "process_id": args.process_id,
-                      "checks": {k: v["ok"] for k, v in results.items()}}))
+                      "checks": {k: v["ok"] for k, v in results.items()}}),
+          flush=True)
+    if args.coordinator and pc > 1:
+        # Exit-skew guard: the first rank to exit would leave the
+        # others to die on jax.distributed's shutdown barrier
+        # (DEADLINE_EXCEEDED at interpreter exit — observed on the
+        # 1-core rehearsal box). Coordination-service barrier, not a
+        # collective, so stragglers are tolerated.
+        _coord_barrier("preflight-done")
     return 0 if ok else 1
 
 
