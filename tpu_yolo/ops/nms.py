@@ -487,7 +487,14 @@ def _tri_fixpoint(cand_boxes, cls_idx, valid, *, iou_thres):
     return keep
 
 
-_SUPPRESS_TILES = 2
+import os as _os
+
+# Block count of the suppression decomposition (_greedy_keep). 2 is the
+# measured default (round 3: the 8-tile sequential variant lost to
+# per-tile overhead; 2 was the knee). Env-overridable for interleaved
+# A/B sweeps (bit-identical at any value — the decomposition theorem in
+# _greedy_keep's docstring holds per block count).
+_SUPPRESS_TILES = int(_os.environ.get("TPU_YOLO_SUPPRESS_TILES", "2"))
 
 
 def _greedy_keep(cand_boxes, cls_idx, valid, *, iou_thres, tiles=None):
