@@ -184,6 +184,18 @@ def test_detect_cli(jpeg_dir, tmp_path):
     assert "done:" in r.stdout
     assert len(list(out.glob("*.jpg"))) == 2
 
+    # --latency-mode: single-image detect_one path through the CLI
+    out2 = tmp_path / "annotated_lat"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "detect.py"),
+         "--weights", ckpt, "--size", "n", "--input-size", "128",
+         "--conf", "0.0001", "--latency-mode", "--out", str(out2),
+         jpeg_dir[0]],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "done:" in r.stdout
+    assert len(list(out2.glob("*.jpg"))) == 1
+
 
 def test_device_letterbox_stream(jpeg_dir, tmp_path):
     """device_letterbox=True: host ships raw staged uint8; the letterbox

@@ -33,6 +33,11 @@ def main():
     p.add_argument("--device-letterbox", action="store_true",
                    help="host only decodes; resize+pad runs on device "
                         "(ops/letterbox.py)")
+    p.add_argument("--latency-mode", action="store_true",
+                   help="the measured low-latency preset (single-label "
+                        "ranking, K=256; serve.py latency_mode) + "
+                        "detect_one per image instead of batched "
+                        "streaming")
     args = p.parse_args()
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -48,13 +53,17 @@ def main():
     det = Detector.from_checkpoint(args.weights, size=args.size,
                                    input_size=args.input_size,
                                    conf_thres=args.conf, iou_thres=args.iou,
-                                   device_letterbox=args.device_letterbox)
+                                   device_letterbox=args.device_letterbox,
+                                   latency_mode=args.latency_mode)
     if args.int8:
         det.quantize(args.images[: args.batch_size])
 
     os.makedirs(args.out, exist_ok=True)
     n_boxes = 0
-    for r in det.stream(args.images, batch_size=args.batch_size):
+    results = ((det.detect_one(p) for p in args.images)
+               if args.latency_mode
+               else det.stream(args.images, batch_size=args.batch_size))
+    for r in results:
         if r.get("error"):
             print(f"{r['path']}: decode failed", file=sys.stderr)
             continue
