@@ -433,4 +433,5 @@ def _run_eval(args, hyp, cfg, folded_params):
                              num_workers=args.workers,
                              native=getattr(args, "native_eval", "auto"))
     return evaluate(folded_params, loader, cfg, args.input_size,
-                    progress=True)
+                    progress=True,
+                    max_nms=getattr(args, "max_nms", 2048))
